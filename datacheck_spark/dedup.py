@@ -1,0 +1,529 @@
+"""Exact and near-duplicate detection, plus scale-path dedup variants.
+
+Reference semantics:
+
+- Exact dups: MD5 of canonical JSON (``sort_keys=True``) → id groups
+  with count > 1 (``/root/reference/src/datacheck/checker.py:422-439``).
+  Here: ``md5(to_json(struct(sorted_cols)))`` groupBy — byte-level hash
+  values differ from Python's ``json.dumps`` but the *groups* are
+  identical because both canonicalizations are injective over a fixed
+  schema.
+- Near-dups: char-3-gram Jaccard ≥ 0.8 with greedy first-seen
+  clustering (``checker.py:441-476``, helpers ``text_rules.py:11-26``),
+  silently skipped above 5000 samples (``checker.py:447-448``). Here
+  the n-grams and the O(n²) pair similarities are computed
+  *distributed* (native array ops); only the ≥-threshold pairs are
+  collected for the order-dependent greedy clustering, which is
+  inherently sequential. The scale path is ``near_duplicate_pairs_lsh``
+  (MinHashLSH banding) which avoids the quadratic join.
+
+Scale-path extras (training-data pipeline ops): MinHash+LSH, SimHash,
+and embedding-cosine near-dup, and salted uniqueness counting for hot
+keys.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- canonical content hash ----------------------------------------------
+
+
+def content_hash(data_cols: Sequence[str]) -> Column:
+    """MD5 over canonical JSON of the sorted data columns — the Spark
+    analogue of ``json.dumps(data, sort_keys=True)`` + MD5
+    (``checker.py:432-433``)."""
+    struct = F.struct(*[F.col(c) for c in sorted(data_cols)])
+    return F.md5(F.to_json(struct))
+
+
+def duplicate_groups(
+    df: DataFrame,
+    data_cols: Sequence[str],
+    id_col: Optional[str] = None,
+    max_groups: int = 1000,
+) -> List[List[str]]:
+    """Exact duplicate id-groups (``checker.py:422-439``).
+
+    Groups are returned with ids sorted and groups ordered by first id —
+    a deterministic ordering (the reference preserves input order, which
+    a distributed table does not have).
+    """
+    id_expr = (
+        F.col(id_col).cast("string")
+        if id_col and id_col in df.columns
+        else F.lit(None).cast("string")
+    )
+    grouped = (
+        df.select(content_hash(data_cols).alias("__h"), id_expr.alias("__id"))
+        .groupBy("__h")
+        .agg(
+            F.sort_array(F.collect_list("__id")).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") > 1)
+        .orderBy(F.col("ids")[0])
+        .limit(max_groups)
+        .collect()
+    )
+    return [list(r["ids"]) for r in grouped]
+
+
+def duplicate_key_rows(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Keys occurring more than once — the uniqueness check on
+    ``(conv_id, turn_idx)`` from BASELINE.json ``north_rule``.
+
+    A plain ``groupBy(keys).count()`` is already skew-safe for counting:
+    Spark's hash aggregate partially aggregates map-side, so a hot key
+    ships one partial row per input partition, not its full row set.
+    Explicit salting is only needed for non-combinable aggregations —
+    see ``salted_agg`` below.
+    """
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_buckets: int,
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+) -> DataFrame:
+    """Two-phase salted aggregation for skew-prone, non-combinable aggs
+    (e.g. ``collect_list`` per conv_id with hot conversations —
+    BASELINE.json ``north_rule`` "skew-salting hot conversations").
+
+    Phase 1 groups by (keys, salt) where salt is the current partition
+    id (deterministic per task, no extra shuffle key material needed);
+    phase 2 re-groups by keys over the ≤ ``salt_buckets`` partial rows.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def dedup_exact(
+    df: DataFrame,
+    data_cols: Sequence[str],
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """Drop later exact duplicates, keep first occurrence
+    (``fixer.py:121-139``). "First" needs an explicit ordering column in
+    a distributed table; without one, an arbitrary single representative
+    is kept (``dropDuplicates`` semantics)."""
+    from pyspark.sql import Window
+
+    h = content_hash(data_cols).alias("__h")
+    if order_col is None:
+        return df.withColumn("__h", h).dropDuplicates(["__h"]).drop("__h")
+    w = Window.partitionBy("__h").orderBy(F.col(order_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+# --- char n-grams (text_rules.py:11-16) ----------------------------------
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct char n-gram array, computed natively (no Python).
+
+    Mirrors ``compute_ngrams`` (``text_rules.py:11-16``): lower+strip;
+    shorter-than-n text yields the whole text (or empty array for "").
+    """
+    t = F.lower(F.trim(col))
+    ln = F.length(t)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)),
+            lambda i: F.substring(t, i, n),
+        )
+    )
+    return (
+        F.when(t.isNull() | (ln == 0), F.array().cast("array<string>"))
+        .when(ln < n, F.array(t))
+        .otherwise(grams)
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over two string-array columns (``text_rules.py:19-26``):
+    both empty ⇒ 1.0; empty union ⇒ 0.0."""
+    union = F.size(F.array_union(a, b))
+    inter = F.size(F.array_intersect(a, b))
+    return (
+        F.when((F.size(a) == 0) & (F.size(b) == 0), F.lit(1.0))
+        .when(union == 0, F.lit(0.0))
+        .otherwise(inter.cast("double") / union)
+    )
+
+
+def _greedy_cluster(
+    order: List[str], pair_set: set
+) -> List[List[str]]:
+    """The reference's order-dependent greedy clustering
+    (``checker.py:458-476``) over precomputed ≥-threshold pairs."""
+    seen: set = set()
+    groups: List[List[str]] = []
+    for i, a in enumerate(order):
+        if a in seen:
+            continue
+        group = [a]
+        for b in order[i + 1 :]:
+            if b in seen:
+                continue
+            if (a, b) in pair_set or (b, a) in pair_set:
+                group.append(b)
+                seen.add(b)
+        if len(group) > 1:
+            groups.append(group)
+            seen.add(a)
+    return groups
+
+
+def near_duplicate_pairs_exact(
+    df: DataFrame,
+    text_cols: Sequence[str],
+    id_col: str,
+    threshold: float = 0.8,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """All id pairs with n-gram Jaccard ≥ threshold, via a distributed
+    self-join. Exact but O(n²) — use only under the reference's 5000-row
+    cap; the LSH variant is the scale path.
+
+    Returns columns (id_a, id_b, sim) with id_a < id_b.
+    """
+    text = F.concat_ws(
+        " ", *[F.col(c) for c in text_cols]
+    )  # join of string fields, checker.py:454
+    base = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        char_ngrams(text, ngram_n).alias("__g"),
+    )
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__g").alias("ga")
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__g").alias("gb")
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("ga"), F.col("gb")).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    return pairs
+
+
+def near_duplicate_groups(
+    df: DataFrame,
+    text_cols: Sequence[str],
+    id_col: Optional[str],
+    threshold: float = 0.8,
+    max_rows: int = 5000,
+    order_col: Optional[str] = None,
+) -> List[List[str]]:
+    """Near-duplicate id groups (``checker.py:441-476``).
+
+    Preserves the reference's semantic cap: silently returns [] above
+    ``max_rows`` (``checker.py:447-448``) — at scale use
+    ``near_duplicate_pairs_lsh`` instead. Greedy clustering order is the
+    sorted ``order_col`` (default: the id column), standing in for the
+    reference's input order which a distributed table lacks.
+    """
+    if not id_col or not text_cols:
+        return []
+    n = df.count()
+    if n > max_rows or n < 2:
+        return []
+    pairs = near_duplicate_pairs_exact(
+        df, text_cols, id_col, threshold
+    ).collect()
+    order_col = order_col or id_col
+    order = [
+        r[0]
+        for r in df.select(F.col(id_col).cast("string"))
+        .orderBy(F.col(order_col))
+        .collect()
+    ]
+    pair_set = {(r["id_a"], r["id_b"]) for r in pairs}
+    return _greedy_cluster(order, pair_set)
+
+
+# --- MinHash + LSH (scale path) ------------------------------------------
+
+
+def minhash_signature(
+    grams: Column, num_hashes: int = 64
+) -> Column:
+    """MinHash signature (array<long>) over a string-array column using
+    seeded xxhash64 — fully native, no Python.
+
+    Standard MinHash: sig[i] = min over tokens of hash_i(token).
+    """
+    sigs = [
+        F.array_min(
+            F.transform(grams, lambda g: F.xxhash64(g, F.lit(i)))
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def near_duplicate_pairs_lsh(
+    df: DataFrame,
+    text_cols: Sequence[str],
+    id_col: str,
+    threshold: float = 0.8,
+    ngram_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding + exact Jaccard
+    verification — the 10^12-row replacement for the O(n²) join.
+
+    Shuffle profile: one exchange on (band_idx, band_hash) to form
+    candidate buckets, one self-join within buckets, then exact Jaccard
+    re-check of the (few) candidates. With 16 bands × 4 rows/band the
+    collision probability at sim=0.8 is ~0.99; at sim=0.5 it is ~0.1.
+
+    Returns (id_a, id_b, sim) with id_a < id_b, sim ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    text = F.concat_ws(" ", *[F.col(c) for c in text_cols])
+    base = (
+        df.select(
+            F.col(id_col).cast("string").alias("__id"),
+            char_ngrams(text, ngram_n).alias("__g"),
+        )
+        .where(F.size("__g") > 0)
+        .withColumn("__sig", minhash_signature(F.col("__g"), num_hashes))
+    )
+    band_entries = base.select(
+        "__id",
+        "__g",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("__sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ).cast("string")
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__g", "bb.band", "bb.bucket")
+
+    a = band_entries.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col("__id").alias("id_a"),
+        F.col("__g").alias("ga"),
+    )
+    b = band_entries.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col("__id").alias("id_b"),
+        F.col("__g").alias("gb"),
+    )
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ga", "gb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return candidates.select(
+        "id_a", "id_b", jaccard(F.col("ga"), F.col("gb")).alias("sim")
+    ).where(F.col("sim") >= threshold)
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash over a string-array column, fully native.
+
+    Bitwise majority vote of xxhash64 token hashes: for each of 64 bit
+    positions, sum ±1 over tokens by bit value, set the bit if the sum
+    is positive. Expressed with higher-order array functions so it runs
+    in codegen (no Python).
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+        bits.append(
+            F.when(vote > 0, F.lit(1 << i if i < 63 else -(2**63))).otherwise(
+                F.lit(0)
+            )
+        )
+    out = F.lit(0)
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    ngram_n: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs with 4-block banding (pigeonhole: any pair
+    within Hamming distance 3 shares at least one of 4 16-bit blocks).
+
+    Returns (id_a, id_b, hamming).
+    """
+    base = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        simhash64(char_ngrams(F.col(text_col), ngram_n)).alias("__sh"),
+    )
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    blocks = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("__sh"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__sh", "b.blk", "b.key")
+    a = blocks.select(
+        "blk", "key", F.col("__id").alias("id_a"), F.col("__sh").alias("sa")
+    )
+    b = blocks.select(
+        "blk", "key", F.col("__id").alias("id_b"), F.col("__sh").alias("sb")
+    )
+    return (
+        a.join(b, ["blk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", hamming64(F.col("sa"), F.col("sb")).alias("hamming")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding cosine near-dup -------------------------------------------
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns via native
+    ``zip_with``/``aggregate`` (double accumulation)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    lsh_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH bucketing then
+    exact cosine verification within buckets.
+
+    The hyperplanes are derived deterministically from seeded xxhash64
+    so no Python/numpy state ships to executors. Pairs in the same
+    bucket get exact cosine; returns (id_a, id_b, cos) ≥ threshold.
+    Brute-force path: pass ``lsh_planes=0`` (full O(n²) join).
+    """
+    base = df.select(
+        F.col(id_col).cast("string").alias("__id"), F.col(vec_col).alias("__v")
+    ).where(F.col(vec_col).isNotNull())
+
+    if lsh_planes > 0:
+        # pseudo-random ±1 hyperplanes: sign of xxhash64(dim_idx, plane, seed)
+        def plane_bit(p: int) -> Column:
+            signed = F.zip_with(
+                F.col("__v"),
+                F.sequence(F.lit(0), F.size("__v") - 1),
+                lambda x, i: F.when(
+                    F.xxhash64(i, F.lit(p), F.lit(seed)) % 2 == 0, x
+                ).otherwise(-x),
+            )
+            proj = F.aggregate(
+                signed, F.lit(0.0), lambda acc, v: acc + v.cast("double")
+            )
+            return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+        bucket = F.lit(0)
+        for p in range(lsh_planes):
+            bucket = bucket * 2 + plane_bit(p)
+        base = base.withColumn("__bkt", bucket)
+        join_cond = ["__bkt"]
+        a = base.select(
+            "__bkt", F.col("__id").alias("id_a"), F.col("__v").alias("va")
+        )
+        b = base.select(
+            "__bkt", F.col("__id").alias("id_b"), F.col("__v").alias("vb")
+        )
+        joined = a.join(b, join_cond).where(F.col("id_a") < F.col("id_b"))
+    else:
+        a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"))
+        b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+
+    return joined.select(
+        "id_a",
+        "id_b",
+        cosine_similarity(F.col("va"), F.col("vb")).alias("cos"),
+    ).where(F.col("cos") >= threshold)

@@ -1,0 +1,355 @@
+"""ValidationEngine: the fused rule pass and CheckResult aggregation.
+
+Reference lifecycle: ``DataChecker.check``
+(``/root/reference/src/datacheck/checker.py:78-181``) — a per-sample ×
+per-rule Python loop. Here the entire rule suite is ONE Catalyst
+projection of boolean columns over the scan (whole-stage codegen), and
+the result summary is ONE aggregation job with partial+final combine —
+the treeAggregate-shaped plan Spark's DataFrame agg already produces.
+
+Outputs:
+
+- ``annotate(df)``: df + one boolean ``__rule_<id>`` column per rule +
+  ``__has_error`` (sample verdict: only ERROR severity fails a sample,
+  ``checker.py:113-137``).
+- ``violations(df)``: long-form violation rows
+  ``(*key_cols, rule_id, rule_name, severity, observed)`` under stable
+  key ordering — the ``(conv_id, turn_idx, rule_id, observed)`` contract
+  of BASELINE.json.
+- ``check(df)``: a ``CheckResult`` matching the reference's
+  machine-readable contract (``server/routers/check.py:73-87``).
+
+Scale notes: the fused pass shuffles nothing; the summary agg is a
+single exchange of tiny partial-agg rows; violation collection is
+bounded by ``max_failed_ids``. Dataset-level extras (dup groups,
+distribution, anomalies) are separate single-shuffle jobs over the same
+(cached) annotated frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datacheck_spark.schema import Severity, ValidationSchema
+from datacheck_spark.rules.compiler import CompiledRule, RuleSet
+
+RULE_PREFIX = "__rule_"
+OBS_PREFIX = "__obs_"
+HAS_ERROR = "__has_error"
+
+
+@dataclass
+class CheckResult:
+    """Mirror of the reference's CheckResult (``checker.py:16-38``)."""
+
+    success: bool = True
+    error: str = ""
+    total_samples: int = 0
+    passed_samples: int = 0
+    failed_samples: int = 0
+    error_count: int = 0
+    warning_count: int = 0
+    info_count: int = 0
+    pass_rate: float = 0.0
+    rule_results: Dict[str, Dict[str, Any]] = dc_field(default_factory=dict)
+    failed_sample_ids: List[str] = dc_field(default_factory=list)
+    duplicates: List[List[str]] = dc_field(default_factory=list)
+    distribution: Dict[str, Any] = dc_field(default_factory=dict)
+    near_duplicates: List[List[str]] = dc_field(default_factory=list)
+    anomalies: Dict[str, Any] = dc_field(default_factory=dict)
+    anomaly_count: int = 0
+    sampled: bool = False
+    sampled_count: int = 0
+    original_count: int = 0
+
+    def to_dict(self) -> Dict[str, Any]:
+        """The canonical machine-readable contract
+        (``server/routers/check.py:73-87``)."""
+        return {
+            "success": self.success,
+            "total_samples": self.total_samples,
+            "passed_samples": self.passed_samples,
+            "failed_samples": self.failed_samples,
+            "pass_rate": round(self.pass_rate, 4),
+            "error_count": self.error_count,
+            "warning_count": self.warning_count,
+            "info_count": self.info_count,
+            "rule_results": self.rule_results,
+            "failed_sample_ids": self.failed_sample_ids,
+            "duplicates": self.duplicates,
+            "near_duplicates": self.near_duplicates,
+            "anomaly_count": self.anomaly_count,
+        }
+
+
+class ValidationEngine:
+    """Compile a RuleSet against DataFrames and run validations."""
+
+    def __init__(
+        self,
+        ruleset: Optional[RuleSet] = None,
+        schema: Optional[ValidationSchema] = None,
+    ):
+        self.ruleset = ruleset or RuleSet()
+        self.schema = schema or ValidationSchema()
+
+    # -- fused pass -------------------------------------------------------
+
+    def compile(self, df: DataFrame) -> List[CompiledRule]:
+        return self.ruleset.compile(df, self.schema)
+
+    def annotate(
+        self,
+        df: DataFrame,
+        with_observed: bool = False,
+        rules: Optional[List[CompiledRule]] = None,
+    ) -> DataFrame:
+        """Add one boolean pass-column per rule plus the sample verdict.
+
+        This is the single fused projection — all rule expressions
+        evaluate in one codegen stage over the scan.
+        """
+        rules = rules if rules is not None else self.compile(df)
+        cols: Dict[str, Column] = {}
+        for r in rules:
+            cols[RULE_PREFIX + r.rule_id] = r.passed
+            if with_observed and r.observed is not None:
+                cols[OBS_PREFIX + r.rule_id] = r.observed.cast("string")
+        error_fails = [
+            ~F.col(RULE_PREFIX + r.rule_id)
+            for r in rules
+            if r.severity == Severity.ERROR
+        ]
+        annotated = df.withColumns(cols)
+        has_error = (
+            F.lit(False)
+            if not error_fails
+            else F.greatest(*[c.cast("boolean") for c in error_fails])
+            if len(error_fails) > 1
+            else error_fails[0]
+        )
+        return annotated.withColumn(HAS_ERROR, has_error)
+
+    def violations(
+        self,
+        df: DataFrame,
+        key_cols: Sequence[str],
+        rules: Optional[List[CompiledRule]] = None,
+    ) -> DataFrame:
+        """Long-form violation rows, stably ordered by the key columns.
+
+        One pass: fused rule projection → array-of-structs for failed
+        rules → ``explode``. No shuffle except the final global sort
+        (which callers can drop via ``.sortWithinPartitions`` when
+        writing partition-ordered output at scale).
+        """
+        rules = rules if rules is not None else self.compile(df)
+        entries = []
+        for r in rules:
+            obs = (
+                r.observed.cast("string")
+                if r.observed is not None
+                else F.lit(None).cast("string")
+            )
+            entries.append(
+                F.when(
+                    ~r.passed,
+                    F.struct(
+                        F.lit(r.rule_id).alias("rule_id"),
+                        F.lit(r.name).alias("rule_name"),
+                        F.lit(r.severity.value).alias("severity"),
+                        obs.alias("observed"),
+                    ),
+                )
+            )
+        out = (
+            df.select(
+                *key_cols,
+                F.explode(F.array_compact(F.array(*entries))).alias("__v"),
+            )
+            .select(*key_cols, "__v.*")
+            .orderBy(*key_cols, "rule_id")
+        )
+        return out
+
+    # -- summary ----------------------------------------------------------
+
+    def summarize(
+        self,
+        annotated: DataFrame,
+        rules: List[CompiledRule],
+        id_col: Optional[str] = None,
+        max_failed_ids: int = 10000,
+        per_rule_failed_ids: int = 10,
+        collect_failed_ids: bool = True,
+    ) -> CheckResult:
+        """One aggregation job over the annotated frame → CheckResult.
+
+        Severity triage per ``checker.py:126-137``: every failed rule
+        increments its severity counter; only ERROR failures fail the
+        sample.
+        """
+        result = CheckResult()
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for r in rules:
+            aggs.append(
+                F.sum((~F.col(RULE_PREFIX + r.rule_id)).cast("long")).alias(
+                    "f_" + r.rule_id
+                )
+            )
+        aggs.append(F.sum(F.col(HAS_ERROR).cast("long")).alias("__failed"))
+        row = annotated.agg(*aggs).collect()[0]
+
+        total = row["__total"]
+        result.total_samples = total
+        if total == 0:
+            result.pass_rate = 1.0
+            return result
+
+        failed_samples = row["__failed"]
+        result.failed_samples = failed_samples
+        result.passed_samples = total - failed_samples
+        result.pass_rate = result.passed_samples / total
+
+        for r in rules:
+            failed = row["f_" + r.rule_id]
+            if r.severity == Severity.ERROR:
+                result.error_count += failed
+            elif r.severity == Severity.WARNING:
+                result.warning_count += failed
+            else:
+                result.info_count += failed
+            result.rule_results[r.rule_id] = {
+                "name": r.name,
+                "passed": total - failed,
+                "failed": failed,
+                "severity": r.severity.value,
+                "failed_samples": [],
+            }
+
+        if collect_failed_ids and id_col and id_col in annotated.columns:
+            # per-rule first-k failing ids + overall failing ids in one
+            # explode+groupBy job (reference caps at 10, checker.py:154)
+            failed_arr = F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            ~F.col(RULE_PREFIX + r.rule_id), F.lit(r.rule_id)
+                        )
+                        for r in rules
+                    ]
+                )
+            )
+            per_rule = (
+                annotated.select(
+                    F.col(id_col).cast("string").alias("__id"),
+                    F.explode(failed_arr).alias("rule_id"),
+                )
+                .groupBy("rule_id")
+                .agg(
+                    F.slice(
+                        F.collect_list("__id"), 1, per_rule_failed_ids
+                    ).alias("ids")
+                )
+                .collect()
+            )
+            for pr in per_rule:
+                if pr["rule_id"] in result.rule_results:
+                    result.rule_results[pr["rule_id"]]["failed_samples"] = pr[
+                        "ids"
+                    ]
+            result.failed_sample_ids = [
+                r["__id"]
+                for r in annotated.filter(F.col(HAS_ERROR))
+                .select(F.col(id_col).cast("string").alias("__id"))
+                .limit(max_failed_ids)
+                .collect()
+            ]
+        return result
+
+    # -- end-to-end -------------------------------------------------------
+
+    def check(
+        self,
+        df: DataFrame,
+        id_col: Optional[str] = None,
+        data_cols: Optional[Sequence[str]] = None,
+        find_duplicates: bool = True,
+        find_near_duplicates: bool = True,
+        near_duplicate_max_rows: int = 5000,
+        compute_distribution: bool = True,
+        detect_anomalies: bool = True,
+        reference_df: Optional[DataFrame] = None,
+        persist: bool = True,
+    ) -> CheckResult:
+        """Full check pipeline mirroring ``DataChecker.check``
+        (``checker.py:78-181``): fused rules → summary; then dup groups,
+        near-dups, distribution, anomalies (warning/info only — they
+        never fail samples, ``checker.py:158-173``).
+        """
+        from datacheck_spark import dedup as D
+        from datacheck_spark import stats as S
+        from datacheck_spark import anomaly as A
+
+        if id_col is None and "id" in df.columns:
+            id_col = "id"
+        data_cols = list(
+            data_cols
+            if data_cols is not None
+            else [c for c in df.columns if c not in (id_col, "metadata")]
+        )
+
+        rules = self.compile(df)
+        annotated = self.annotate(df, rules=rules)
+        if persist:
+            annotated = annotated.persist()
+        try:
+            result = self.summarize(annotated, rules, id_col=id_col)
+            if result.total_samples == 0:
+                return result
+
+            if find_duplicates:
+                result.duplicates = D.duplicate_groups(
+                    annotated, data_cols=data_cols, id_col=id_col
+                )
+                result.warning_count += len(result.duplicates)
+
+            if find_near_duplicates:
+                result.near_duplicates = D.near_duplicate_groups(
+                    annotated,
+                    text_cols=[
+                        c
+                        for c in data_cols
+                        if dict(annotated.dtypes).get(c) == "string"
+                    ],
+                    id_col=id_col,
+                    max_rows=near_duplicate_max_rows,
+                )
+                result.warning_count += len(result.near_duplicates)
+
+            if compute_distribution:
+                result.distribution = S.compute_distribution(
+                    annotated.select(*[c for c in df.columns]), data_cols
+                )
+
+            if detect_anomalies:
+                result.anomalies = A.detect_anomalies(
+                    annotated.select(*[c for c in df.columns]),
+                    cols=data_cols,
+                )
+                result.anomaly_count = sum(
+                    a["outlier_count"] for a in result.anomalies.values()
+                )
+
+            if reference_df is not None:
+                result.distribution["reference_comparison"] = (
+                    S.compare_distributions(df, reference_df, data_cols)
+                )
+            return result
+        finally:
+            if persist:
+                annotated.unpersist()

@@ -1,0 +1,194 @@
+"""Text-quality rule expressions: PII, garbled, repetition, language.
+
+Semantics mirror the reference's ``text_rules.py``
+(``/root/reference/src/datacheck/text_rules.py``):
+
+- PII patterns ``text_rules.py:99-104`` — all four are Java-regex
+  compatible as written, so they run JVM-side via ``rlike``.
+- Garbled detection ``text_rules.py:121-136`` — control/replacement chars
+  > 1 % of length, or a 3+-run of U+00C0–U+00FF; strings < 5 chars skip.
+- Repetitive text ``text_rules.py:142-172`` — sentence- and window-level
+  ``Counter`` logic is irreducible per-row Python ⇒ Arrow-vectorized
+  pandas UDF (the only Python in the hot path, and only when this rule
+  is enabled).
+- Language detection ``text_rules.py:32-94`` — per-script ``regexp_count``
+  tallies, dominant-language argmax with first-in-order tie-break, 2-dp
+  rounded confidence, fields > 10 chars only.
+
+Everything here returns *pass* columns: True ⇒ the row passes the rule.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, StringType
+
+# --- PII (text_rules.py:99-104) ------------------------------------------
+
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone_cn": r"1[3-9]\d{9}",
+    "phone_intl": r"\+\d{1,3}[-.\s]?\d{4,14}",
+    "id_cn": r"\d{17}[\dXx]",
+}
+
+#: Single alternation used when only found/not-found matters.
+PII_ANY = "|".join(f"(?:{p})" for p in PII_PATTERNS.values())
+
+
+def pii_clean(col: Column) -> Column:
+    """True iff the string column contains no PII. Null ⇒ clean
+    (reference skips non-str values, ``text_rules.py:111-112``)."""
+    return col.isNull() | ~col.rlike(PII_ANY)
+
+
+# --- Garbled text (text_rules.py:121-136) --------------------------------
+
+GARBLED_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\ufffd\\ufffe\\uffff]"
+ENCODING_ERROR = "[\\u00c0-\\u00ff]{3,}"
+
+
+def garbled_clean(col: Column) -> Column:
+    """True iff not garbled. Strings < 5 chars skip (pass)."""
+    n = F.length(col)
+    garbled_count = F.regexp_count(col, F.lit(GARBLED_CLASS))
+    bad = ((garbled_count > 0) & (garbled_count / n > 0.01)) | col.rlike(
+        ENCODING_ERROR
+    )
+    return col.isNull() | (n < 5) | ~bad
+
+
+# --- Repetitive text (text_rules.py:142-172) -----------------------------
+
+
+def _repetitive_one(value) -> bool:
+    """Exact per-string port of the reference predicate semantics
+    (``text_rules.py:142-172``): True ⇒ repetitive."""
+    import re
+    from collections import Counter
+
+    if not isinstance(value, str) or len(value) < 50:
+        return False
+    segments = re.split(r"[。！？\n.!?]+", value)
+    segments = [s.strip() for s in segments if len(s.strip()) > 5]
+    if len(segments) >= 3:
+        most = Counter(segments).most_common(1)[0][1]
+        if most >= 3 and most / len(segments) > 0.3:
+            return True
+    if len(value) > 100:
+        w = 10
+        windows = [value[i : i + w] for i in range(0, len(value) - w, w)]
+        if windows:
+            top = Counter(windows).most_common(1)[0][1]
+            if top / len(windows) > 0.5 and top > 3:
+                return True
+    return False
+
+
+@pandas_udf(BooleanType())
+def repetitive_flag(texts: pd.Series) -> pd.Series:
+    """Arrow-batched repetition detector; True ⇒ repetitive."""
+    return texts.map(_repetitive_one).astype(bool)
+
+
+def repetitive_clean(col: Column) -> Column:
+    """True iff the column is not excessively repetitive."""
+    return ~F.coalesce(repetitive_flag(col), F.lit(False))
+
+
+# --- Language detection (text_rules.py:32-94) ----------------------------
+
+#: (lang, java-regex char class) in the reference's dict-insertion order —
+#: order matters for the argmax tie-break (Python ``max`` returns the
+#: first maximal key in insertion order, ``text_rules.py:71``).
+LANG_RANGES = [
+    ("zh", "[\\u4e00-\\u9fff\\u3400-\\u4dbf]"),
+    ("ja", "[\\u3040-\\u309f\\u30a0-\\u30ff]"),
+    ("ko", "[\\uac00-\\ud7af\\u1100-\\u11ff]"),
+    ("ar", "[\\u0600-\\u06ff\\u0750-\\u077f]"),
+    ("ru", "[\\u0400-\\u04ff]"),
+    ("th", "[\\u0e00-\\u0e7f]"),
+    ("latin", "[a-zA-Z]"),
+]
+
+
+def detected_language(col: Column) -> Column:
+    """Struct column ``(lang string, confidence double)``.
+
+    Mirrors ``detect_language`` (``text_rules.py:42-74``): per-range
+    match counts; dominant = max count, first-in-order wins ties;
+    confidence rounded to 2 dp; ``("unknown", 0.0)`` when no counts or
+    ``len(strip()) < 3``.
+    """
+    counts = [F.regexp_count(col, F.lit(p)) for _, p in LANG_RANGES]
+    total = reduce(lambda a, b: a + b, counts)
+    # argmax with first-in-order tie-break: max struct(count, -index)
+    candidates = F.array(
+        *[
+            F.struct(
+                counts[i].alias("n"),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, _) in enumerate(LANG_RANGES)
+        ]
+    )
+    best = F.array_max(F.filter(candidates, lambda s: s["n"] > 0))
+    known = (
+        col.isNotNull()
+        & (F.length(F.trim(col)) >= 3)
+        & (total > 0)
+    )
+    lang = F.when(known, best["lang"]).otherwise(F.lit("unknown"))
+    conf = F.when(known, F.round(best["n"] / total, 2)).otherwise(F.lit(0.0))
+    return F.struct(lang.alias("lang"), conf.alias("confidence"))
+
+
+def language_consistent(cols: Sequence[Column]) -> Column:
+    """True iff < 2 confident language detections, or all agree.
+
+    Mirrors ``check_language_consistency`` (``text_rules.py:77-94``):
+    only string fields > 10 chars participate; confident means
+    ``lang != 'unknown' and confidence > 0.3`` (confidence pre-rounded
+    to 2 dp as the reference rounds before comparing).
+    """
+    langs = []
+    for c in cols:
+        det = detected_language(c)
+        eligible = c.isNotNull() & (F.length(c) > 10)
+        confident = eligible & (det["lang"] != "unknown") & (
+            det["confidence"] > 0.3
+        )
+        langs.append(F.when(confident, det["lang"]))
+    arr = F.array_compact(F.array(*langs))
+    return (F.size(arr) < 2) | (F.size(F.array_distinct(arr)) == 1)
+
+
+# --- PII redaction (fixer.py:25-31) --------------------------------------
+
+#: Redaction patterns in the reference's mandatory order: EMAIL, then the
+#: full birthdate-validating CN ID (must precede phone to avoid partial
+#: matches), then CN mobile, then intl phone (``fixer.py:25-31``).
+REDACTION_PATTERNS = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    (
+        r"\d{6}(18|19|20)\d{2}(0[1-9]|1[0-2])(0[1-9]|[12]\d|3[01])\d{3}[\dXx]",
+        "[ID]",
+    ),
+    (r"1[3-9]\d{9}", "[PHONE]"),
+    (r"\+\d{1,3}[-.\s]?\d{4,14}", "[PHONE]"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained ``regexp_replace`` in reference order; null-safe."""
+    out = col
+    for pattern, token in REDACTION_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
