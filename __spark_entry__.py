@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fused-rule summary over the sf0.001
+tables; ``queries()``/``oracle_sql()`` expose one entry per implemented
+operator from SURVEY.md §2 (implemented in
+``datacheck_spark/contract.py`` with DuckDB oracle twins).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full builtin rule
+    suite compiled to one fused pass over documents, returning the
+    per-rule pass/fail summary (one row per rule)."""
+    from pyspark.sql import functions as F
+
+    from datacheck_spark.engine import ValidationEngine, RULE_PREFIX
+    from datacheck_spark.schema import ValidationSchema
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    engine = ValidationEngine(schema=ValidationSchema())
+    rules = engine.compile(df)
+    annotated = engine.annotate(df, rules=rules)
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for r in rules:
+        aggs.append(
+            F.sum((~F.col(RULE_PREFIX + r.rule_id)).cast("long")).alias(
+                "failed_" + r.rule_id
+            )
+        )
+    wide = annotated.agg(*aggs)
+    # long form: one row per rule
+    row = wide.collect()[0]
+    return spark.createDataFrame(
+        [
+            (r.rule_id, r.severity.value, row["total"], int(row["failed_" + r.rule_id]))
+            for r in rules
+        ],
+        "rule_id string, severity string, total long, failed long",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from datacheck_spark import contract
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return contract.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from datacheck_spark import contract
+
+    return contract.oracle_sql()

@@ -1,0 +1,824 @@
+"""Driver-contract queries: each SURVEY.md §2 operator exercised over the
+driver's parquet tables with a DuckDB-oracle twin.
+
+Conventions (the driver compares row-count + schema + order-insensitive
+value-hash at sf0.01):
+
+- every computed column is aliased identically in Spark and SQL;
+- floating outputs are rounded (4-6 dp) on BOTH sides so engine-order
+  float noise cannot flip the hash;
+- sums/counts are cast to bigint on both sides (DuckDB sum() returns
+  HUGEINT otherwise).
+
+Regex notes: all patterns used here are simultaneously valid Java regex
+(Spark ``rlike``/``regexp_*``) and RE2 (DuckDB); CJK ranges are written
+with literal unicode endpoints (``[一-鿿]``) because Java's ``\\uXXXX``
+class syntax is not RE2's.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datacheck_spark.rules import text as T
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: Dict[str, QueryFn] = {}
+_ORACLES: Dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --- §2.2 row-level rules over documents ----------------------------------
+
+_PII_SQL = (
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    "|1[3-9][0-9]{9}"
+    "|\\+[0-9]{1,3}[-.\\s]?[0-9]{4,14}"
+    "|[0-9]{17}[0-9Xx]"
+)
+
+
+@_q(
+    "rules_docs",
+    f"""
+    SELECT doc_id,
+           (text IS NULL OR length(trim(text)) > 0)   AS non_empty,
+           (text IS NULL OR length(text) BETWEEN 1 AND 100000) AS length_ok,
+           (text IS NULL OR NOT regexp_matches(text, '{_PII_SQL}')) AS pii_clean
+    FROM documents ORDER BY doc_id
+    """,
+)
+def rules_docs(spark, sf_dir):
+    """Fused row-level rule verdicts (SURVEY §2.2 ops 9, 10, 13) as one
+    projection over documents — per-row booleans oracle-checked."""
+    df = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return df.select(
+        "doc_id",
+        (c.isNull() | (F.length(F.trim(c)) > 0)).alias("non_empty"),
+        (c.isNull() | F.length(c).between(1, 100000)).alias("length_ok"),
+        T.pii_clean(c).alias("pii_clean"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "rule_summary_docs",
+    f"""
+    SELECT count(*)::BIGINT AS total,
+           sum(CASE WHEN text IS NOT NULL AND length(trim(text)) = 0 THEN 1 ELSE 0 END)::BIGINT AS blank_count,
+           sum(CASE WHEN text IS NOT NULL AND regexp_matches(text, '{_PII_SQL}') THEN 1 ELSE 0 END)::BIGINT AS pii_count
+    FROM documents
+    """,
+)
+def rule_summary_docs(spark, sf_dir):
+    """Per-rule failure counts in one agg (SURVEY §2.5 op 29)."""
+    df = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((c.isNotNull() & (F.length(F.trim(c)) == 0)).cast("long")).alias(
+            "blank_count"
+        ),
+        F.sum((~T.pii_clean(c)).cast("long")).alias("pii_count"),
+    )
+
+
+# --- §2.3 YAML check types over events / customer -------------------------
+
+
+@_q(
+    "config_checks_events",
+    """
+    SELECT event_id,
+           (event_type IS NOT NULL AND event_type IN ('click','view','purchase','signup','logout','login','error','scroll'))
+               AS enum_ok,
+           (value IS NULL OR (TRY_CAST(value AS DOUBLE) IS NOT NULL AND value >= 0 AND value <= 1e6))
+               AS range_ok,
+           (props IS NOT NULL AND length(trim(props)) > 0) AS props_non_empty
+    FROM events ORDER BY event_id
+    """,
+)
+def config_checks_events(spark, sf_dir):
+    """YAML-config check types compiled to Columns (SURVEY §2.3):
+    enum, number_range, non_empty."""
+    df = _t(spark, sf_dir, "events")
+    et, v, p = F.col("event_type"), F.col("value"), F.col("props")
+    allowed = [
+        "click", "view", "purchase", "signup", "logout", "login", "error", "scroll",
+    ]
+    return df.select(
+        "event_id",
+        (et.isNotNull() & et.isin(allowed)).alias("enum_ok"),
+        (v.isNull() | ((v >= 0) & (v <= 1e6))).alias("range_ok"),
+        (p.isNotNull() & (F.length(F.trim(p)) > 0)).alias("props_non_empty"),
+    ).orderBy("event_id")
+
+
+# --- §2.5 dataset-level ops -----------------------------------------------
+
+
+@_q(
+    "distribution_lineitem",
+    """
+    SELECT count(*)::BIGINT                       AS total,
+           min(l_quantity)                        AS qty_min,
+           max(l_quantity)                        AS qty_max,
+           round(avg(l_quantity), 4)              AS qty_avg,
+           min(l_extendedprice)                   AS price_min,
+           max(l_extendedprice)                   AS price_max,
+           round(avg(l_extendedprice), 4)         AS price_avg,
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS qty_nulls
+    FROM lineitem
+    """,
+)
+def distribution_lineitem(spark, sf_dir):
+    """Distribution stats pass (SURVEY §2.5 op 27) — single fused agg."""
+    df = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.min(q).alias("qty_min"),
+        F.max(q).alias("qty_max"),
+        F.round(F.avg(q), 4).alias("qty_avg"),
+        F.min(p).alias("price_min"),
+        F.max(p).alias("price_max"),
+        F.round(F.avg(p), 4).alias("price_avg"),
+        F.sum(q.isNull().cast("long")).alias("qty_nulls"),
+    )
+
+
+@_q(
+    "string_stats_docs",
+    """
+    SELECT count(*)::BIGINT AS total,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_count,
+           min(length(text)) AS len_min,
+           max(length(text)) AS len_max,
+           round(avg(length(text)), 4) AS len_avg,
+           count(DISTINCT text)::BIGINT AS unique_count
+    FROM documents
+    """,
+)
+def string_stats_docs(spark, sf_dir):
+    """String-field distribution stats (op 27, string branch)."""
+    df = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(c.isNull().cast("long")).alias("null_count"),
+        F.min(F.length(c)).alias("len_min"),
+        F.max(F.length(c)).alias("len_max"),
+        F.round(F.avg(F.length(c)), 4).alias("len_avg"),
+        F.countDistinct(c).alias("unique_count"),
+    )
+
+
+@_q(
+    "topk_event_types",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt
+    FROM events GROUP BY event_type
+    ORDER BY cnt DESC, event_type LIMIT 10
+    """,
+)
+def topk_event_types(spark, sf_dir):
+    """Top-10 value histogram (op 27 value_distribution /
+    ``Counter.most_common``), deterministic tie-break."""
+    df = _t(spark, sf_dir, "events")
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+@_q(
+    "dup_groups_orders",
+    """
+    SELECT o_custkey, o_orderdate, count(*)::BIGINT AS dup_count
+    FROM orders GROUP BY o_custkey, o_orderdate
+    HAVING count(*) > 1
+    ORDER BY o_custkey, o_orderdate
+    """,
+)
+def dup_groups_orders(spark, sf_dir):
+    """Exact duplicate groups (op 25) on a natural key."""
+    df = _t(spark, sf_dir, "orders")
+    return (
+        df.groupBy("o_custkey", "o_orderdate")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+        .orderBy("o_custkey", "o_orderdate")
+    )
+
+
+@_q(
+    "uniqueness_lineitem",
+    """
+    SELECT count(*)::BIGINT AS duplicate_key_count FROM (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+    )
+    """,
+)
+def uniqueness_lineitem(spark, sf_dir):
+    """Uniqueness check on a composite key (north_rule uniqueness on
+    (conv_id, turn_idx); here (l_orderkey, l_linenumber))."""
+    from datacheck_spark.dedup import duplicate_key_rows
+
+    df = _t(spark, sf_dir, "lineitem")
+    dups = duplicate_key_rows(df, ["l_orderkey", "l_linenumber"])
+    return dups.agg(F.count(F.lit(1)).alias("duplicate_key_count"))
+
+
+@_q(
+    "exact_dedup_docs",
+    """
+    SELECT count(*)::BIGINT AS input_rows,
+           count(DISTINCT md5(text))::BIGINT AS distinct_docs
+    FROM documents
+    """,
+)
+def exact_dedup_docs(spark, sf_dir):
+    """Exact dedup cardinality by content hash (ops 25/35; training-data
+    exact dedup)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.agg(
+        F.count(F.lit(1)).alias("input_rows"),
+        F.countDistinct(F.md5("text")).alias("distinct_docs"),
+    )
+
+
+# --- §2.6 anomaly detection ----------------------------------------------
+
+
+@_q(
+    "anomaly_iqr_events",
+    """
+    WITH s AS (
+      SELECT quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events
+    )
+    SELECT round(s.q1, 4) AS q1,
+           round(s.q3, 4) AS q3,
+           round(s.q3 - s.q1, 4) AS iqr,
+           round(s.q1 - 1.5 * (s.q3 - s.q1), 4) AS lower_bound,
+           round(s.q3 + 1.5 * (s.q3 - s.q1), 4) AS upper_bound,
+           (SELECT count(*) FROM events, s
+             WHERE value < s.q1 - 1.5 * (s.q3 - s.q1)
+                OR value > s.q3 + 1.5 * (s.q3 - s.q1))::BIGINT AS outlier_count
+    FROM s
+    """,
+)
+def anomaly_iqr_events(spark, sf_dir):
+    """IQR outliers on events.value (ops 31/33): exact linear-interp
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``),
+    broadcast-scalar bounds filter."""
+    from datacheck_spark.anomaly import compute_stats
+
+    df = _t(spark, sf_dir, "events")
+    st = compute_stats(df, "value")
+    lower = st["q1"] - 1.5 * st["iqr"]
+    upper = st["q3"] + 1.5 * st["iqr"]
+    v = F.col("value").cast("double")
+    return df.agg(
+        F.round(F.lit(st["q1"]), 4).alias("q1"),
+        F.round(F.lit(st["q3"]), 4).alias("q3"),
+        F.round(F.lit(st["iqr"]), 4).alias("iqr"),
+        F.round(F.lit(lower), 4).alias("lower_bound"),
+        F.round(F.lit(upper), 4).alias("upper_bound"),
+        F.sum(((v < lower) | (v > upper)).cast("long")).alias("outlier_count"),
+    )
+
+
+@_q(
+    "anomaly_zscore_events",
+    """
+    WITH s AS (
+      SELECT avg(value) AS mu, stddev_pop(value) AS sigma FROM events
+    )
+    SELECT round(s.mu, 4) AS mean_value,
+           round(s.sigma, 4) AS std_value,
+           (SELECT count(*) FROM events, s
+             WHERE abs(value - s.mu) / s.sigma > 3.0)::BIGINT AS outlier_count
+    FROM s
+    """,
+)
+def anomaly_zscore_events(spark, sf_dir):
+    """Z-score outliers (op 32) with population std (reference /n)."""
+    from datacheck_spark.anomaly import compute_stats
+
+    df = _t(spark, sf_dir, "events")
+    st = compute_stats(df, "value")
+    v = F.col("value").cast("double")
+    return df.agg(
+        F.round(F.lit(st["mean"]), 4).alias("mean_value"),
+        F.round(F.lit(st["std"]), 4).alias("std_value"),
+        F.sum(
+            (F.abs(v - F.lit(st["mean"])) / F.lit(st["std"]) > 3.0).cast("long")
+        ).alias("outlier_count"),
+    )
+
+
+@_q(
+    "length_anomaly_docs",
+    """
+    WITH s AS (
+      SELECT quantile_cont(length(text), 0.25) AS q1,
+             quantile_cont(length(text), 0.75) AS q3
+      FROM documents
+    )
+    SELECT d.doc_id
+    FROM documents d, s
+    WHERE length(d.text) < s.q1 - 1.5 * (s.q3 - s.q1)
+       OR length(d.text) > s.q3 + 1.5 * (s.q3 - s.q1)
+    ORDER BY d.doc_id
+    """,
+)
+def length_anomaly_docs(spark, sf_dir):
+    """String-length anomaly rows (op 34 length branch) keyed by doc_id
+    — the distributed replacement for index lists."""
+    from datacheck_spark.anomaly import outlier_rows
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("__len")
+    )
+    return outlier_rows(df, "__len").select("doc_id").orderBy("doc_id")
+
+
+# --- referential / leakage-shaped joins -----------------------------------
+
+
+@_q(
+    "referential_lineitem_orders",
+    """
+    SELECT count(*)::BIGINT AS orphan_rows FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def referential_lineitem_orders(spark, sf_dir):
+    """Referential anti-join (north_rule; SURVEY §2.8 op 40 exact path)."""
+    from datacheck_spark.referential import orphan_rows as orphans
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return orphans(li, "l_orderkey", o, "o_orderkey").agg(
+        F.count(F.lit(1)).alias("orphan_rows")
+    )
+
+
+@_q(
+    "leakage_exact_events_halves",
+    """
+    SELECT count(*)::BIGINT AS leaked_rows FROM (
+      SELECT DISTINCT e2.event_id
+      FROM events e2
+      JOIN events e1 ON e1.event_type = e2.event_type
+                    AND e1.user_id = e2.user_id
+                    AND e1.value = e2.value
+      WHERE e2.event_id % 2 = 1 AND e1.event_id % 2 = 0
+    )
+    """,
+)
+def leakage_exact_events_halves(spark, sf_dir):
+    """Exact train/test leakage as a semi-join (op 40): odd-id rows
+    whose (event_type, user_id, value) key appears among even-id rows."""
+    df = _t(spark, sf_dir, "events")
+    train = df.where(F.col("event_id") % 2 == 0)
+    test = df.where(F.col("event_id") % 2 == 1)
+    keys = ["event_type", "user_id", "value"]
+    leaked = test.join(train.select(*keys).dropDuplicates(keys), keys, "left_semi")
+    return leaked.select("event_id").distinct().agg(
+        F.count(F.lit(1)).alias("leaked_rows")
+    )
+
+
+# --- §2.8 drift / bias / coverage -----------------------------------------
+
+
+@_q(
+    "drift_events_halves",
+    """
+    WITH h AS (
+      SELECT event_type, value, (event_id % 2 = 0) AS is_a FROM events
+    )
+    SELECT event_type,
+           sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS count_a,
+           sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS count_b,
+           round(avg(CASE WHEN is_a THEN value END), 4) AS mean_a,
+           round(avg(CASE WHEN NOT is_a THEN value END), 4) AS mean_b
+    FROM h GROUP BY event_type ORDER BY event_type
+    """,
+)
+def drift_events_halves(spark, sf_dir):
+    """Reference-style drift summary deltas (op 39): per-category count
+    and mean on two splits, one conditional-agg pass (no second scan)."""
+    df = _t(spark, sf_dir, "events")
+    is_a = (F.col("event_id") % 2) == 0
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.sum(is_a.cast("long")).alias("count_a"),
+            F.sum((~is_a).cast("long")).alias("count_b"),
+            F.round(F.avg(F.when(is_a, F.col("value"))), 4).alias("mean_a"),
+            F.round(F.avg(F.when(~is_a, F.col("value"))), 4).alias("mean_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "bias_category_customer",
+    """
+    SELECT c_mktsegment AS label, count(*)::BIGINT AS cnt
+    FROM customer GROUP BY c_mktsegment ORDER BY cnt DESC, label
+    """,
+)
+def bias_category_customer(spark, sf_dir):
+    """Category-imbalance tally (op 41)."""
+    df = _t(spark, sf_dir, "customer")
+    return (
+        df.groupBy(F.col("c_mktsegment").alias("label"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("label"))
+    )
+
+
+@_q(
+    "coverage_events",
+    """
+    SELECT count(*)::BIGINT AS total,
+           count(event_type)::BIGINT AS event_type_present,
+           count(DISTINCT event_type)::BIGINT AS event_type_distinct,
+           count(user_id)::BIGINT AS user_id_present,
+           count(DISTINCT user_id)::BIGINT AS user_id_distinct,
+           sum(CASE WHEN props IS NOT NULL AND length(trim(props)) > 0 THEN 1 ELSE 0 END)::BIGINT AS props_non_empty
+    FROM events
+    """,
+)
+def coverage_events(spark, sf_dir):
+    """Field coverage analysis (op 42) in one agg."""
+    df = _t(spark, sf_dir, "events")
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("event_type").alias("event_type_present"),
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        F.count("user_id").alias("user_id_present"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+        F.sum(
+            (
+                F.col("props").isNotNull()
+                & (F.length(F.trim("props")) > 0)
+            ).cast("long")
+        ).alias("props_non_empty"),
+    )
+
+
+# --- §2.7 fixer transforms ------------------------------------------------
+
+
+@_q(
+    "pii_redaction",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   'mail ' || 'user' || doc_id || '@example.com id 110101199001011234 tel 13812345678 or +86-13900000000 end',
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                 '[0-9]{6}(18|19|20)[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])[0-9]{3}[0-9Xx]', '[ID]', 'g'),
+               '1[3-9][0-9]{9}', '[PHONE]', 'g'),
+             '\\+[0-9]{1,3}[-.\\s]?[0-9]{4,14}', '[PHONE]', 'g') AS redacted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII redaction chain in reference order (op 38) — byte-equal
+    output is the BASELINE.md per-turn text equality target."""
+    df = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("mail user"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "@example.com id 110101199001011234 tel 13812345678 or +86-13900000000 end"
+        ),
+    )
+    return df.select(
+        "doc_id", T.redact_pii(dirty).alias("redacted")
+    ).orderBy("doc_id")
+
+
+@_q(
+    "fix_trim_remove_empty",
+    """
+    SELECT count(*)::BIGINT AS kept_rows,
+           sum(CASE WHEN trim(text) <> text THEN 1 ELSE 0 END)::BIGINT AS would_trim
+    FROM documents
+    WHERE text IS NOT NULL AND text <> ''
+    """,
+)
+def fix_trim_remove_empty(spark, sf_dir):
+    """Trim + remove-empty accounting (ops 36/37)."""
+    df = _t(spark, sf_dir, "documents")
+    kept = df.where(F.col("text").isNotNull() & (F.col("text") != ""))
+    return kept.agg(
+        F.count(F.lit(1)).alias("kept_rows"),
+        F.sum((F.trim("text") != F.col("text")).cast("long")).alias(
+            "would_trim"
+        ),
+    )
+
+
+# --- §2.9 contribution weighting ------------------------------------------
+
+
+@_q(
+    "contribution_weights",
+    """
+    SELECT contrib_type,
+           count(*)::BIGINT AS n,
+           round(sum(weight), 2)::DOUBLE AS total_weight
+    FROM (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'corner_case'
+                  WHEN o_orderpriority = '2-HIGH' THEN 'peer_review'
+                  ELSE 'review' END AS contrib_type,
+             round(
+               (CASE WHEN o_orderpriority = '1-URGENT' THEN 8.0
+                     WHEN o_orderpriority = '2-HIGH' THEN 3.0
+                     ELSE 1.0 END)
+               * (CASE WHEN o_totalprice > 100000 THEN 1.1 ELSE 1.0 END)
+               * (CASE WHEN date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) <= 1 THEN 1.5
+                       WHEN date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) <= 7 THEN 1.2
+                       WHEN date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) <= 30 THEN 1.0
+                       ELSE 0.9 END)
+             , 2) AS weight
+      FROM orders
+    ) GROUP BY contrib_type ORDER BY contrib_type
+    """,
+)
+def contribution_weights(spark, sf_dir):
+    """Contribution weight formula weight = base × quality × time
+    (ops 43/44, ``contribute.py:156-277``) as pure column arithmetic
+    over orders (type/base from priority, quality from price, time
+    multiplier from day offsets)."""
+    df = _t(spark, sf_dir, "orders")
+    pr = F.col("o_orderpriority")
+    contrib_type = (
+        F.when(pr == "1-URGENT", "corner_case")
+        .when(pr == "2-HIGH", "peer_review")
+        .otherwise("review")
+    )
+    base = (
+        F.when(pr == "1-URGENT", 8.0).when(pr == "2-HIGH", 3.0).otherwise(1.0)
+    )
+    quality = F.when(F.col("o_totalprice") > 100000, 1.1).otherwise(1.0)
+    days = F.datediff(F.col("o_orderdate"), F.to_timestamp(F.lit("1995-01-01")))
+    time_mult = (
+        F.when(days <= 1, 1.5)
+        .when(days <= 7, 1.2)
+        .when(days <= 30, 1.0)
+        .otherwise(0.9)
+    )
+    weight = F.round(base * quality * time_mult, 2)
+    return (
+        df.select(contrib_type.alias("contrib_type"), weight.alias("weight"))
+        .groupBy("contrib_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("weight"), 2).alias("total_weight"),
+        )
+        .orderBy("contrib_type")
+    )
+
+
+# --- training-data pipeline ops (documents / embeddings) ------------------
+
+
+@_q(
+    "token_count_docs",
+    """
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count_docs(spark, sf_dir):
+    """Whitespace token counting (training-data text analysis)."""
+    df = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    n = F.when(
+        c.isNull() | (F.trim(c) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(c), r"\s+")))
+    return df.select("doc_id", n.cast("long").alias("n_tokens")).orderBy(
+        "doc_id"
+    )
+
+
+@_q(
+    "lang_id_docs",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 OR text IS NULL THEN 'unknown'
+                WHEN (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))::DOUBLE / length(text) > 0.3 THEN 'zh'
+                WHEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / length(text) > 0.3 THEN 'en'
+                ELSE 'other' END AS lang_guess
+    FROM documents ORDER BY doc_id
+    """,
+)
+def lang_id_docs(spark, sf_dir):
+    """Language-ID heuristic (op 41 language branch / training-data
+    lang-id): CJK vs latin character share with 0.3 cutoffs
+    (``mcp_server.py:756-775``)."""
+    df = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    ln = F.length(c)
+    cjk = ln - F.length(F.regexp_replace(c, "[一-鿿]", ""))
+    latin = ln - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))
+    guess = (
+        F.when(c.isNull() | (ln == 0), "unknown")
+        .when(cjk.cast("double") / ln > 0.3, "zh")
+        .when(latin.cast("double") / ln > 0.3, "en")
+        .otherwise("other")
+    )
+    return df.select("doc_id", guess.alias("lang_guess")).orderBy("doc_id")
+
+
+@_q(
+    "quality_score_docs",
+    """
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+           round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text), 4) AS punct_ratio,
+           round(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE / length(text), 4) AS space_ratio
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def quality_score_docs(spark, sf_dir):
+    """Text quality scoring features (training-data pipeline): length,
+    token count, punctuation and whitespace ratios."""
+    df = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    ln = F.length(c)
+    # the replace keeps only the class chars, so its length IS the count
+    punct = F.length(F.regexp_replace(c, r"[^.,!?;:]", ""))
+    spaces = F.length(F.regexp_replace(c, "[^ ]", ""))
+    return (
+        df.where(c.isNotNull() & (ln > 0))
+        .select(
+            "doc_id",
+            ln.cast("long").alias("n_chars"),
+            F.size(F.split(F.trim(c), r"\s+")).cast("long").alias("n_tokens"),
+            F.round(punct.cast("double") / ln, 4).alias("punct_ratio"),
+            F.round(spaces.cast("double") / ln, 4).alias("space_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "fingerprint_docs",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def fingerprint_docs(spark, sf_dir):
+    """Document fingerprinting: whitespace-normalized lowercase MD5
+    (training-data pipeline; identical digests across engines)."""
+    df = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return df.select("doc_id", F.md5(norm).alias("fingerprint")).orderBy(
+        "doc_id"
+    )
+
+
+@_q(
+    "ngram_jaccard_docs",
+    None,  # n-gram set algebra is not reasonably SQL-expressible: rows-only check
+)
+def ngram_jaccard_docs(spark, sf_dir):
+    """Char-3-gram Jaccard near-dup pairs over a deterministic 200-doc
+    subset (op 26 exact path; O(n²) under the reference's size cap)."""
+    from datacheck_spark.dedup import near_duplicate_pairs_exact
+
+    df = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return near_duplicate_pairs_exact(
+        df, ["text"], "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@_q("minhash_near_dup_docs", None)
+def minhash_near_dup_docs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (scale path of op 26; banding +
+    exact Jaccard verification). Rows-only check (hash-seed specific)."""
+    from datacheck_spark.dedup import near_duplicate_pairs_lsh
+
+    df = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    return near_duplicate_pairs_lsh(
+        df, ["text"], "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@_q("simhash_docs", None)
+def simhash_docs(spark, sf_dir):
+    """SimHash near-dup pairs (training-data dedup variant). Rows-only
+    (xxhash64-specific signatures)."""
+    from datacheck_spark.dedup import simhash_near_duplicates
+
+    df = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    return simhash_near_duplicates(df, "text", "doc_id", max_hamming=6)
+
+
+@_q(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.qv, c.embedding) AS cos,
+                  row_number() OVER (PARTITION BY q.query_id
+                                     ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC, c.vec_id) AS rank
+           FROM q, c
+         )
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id
+    FROM scored WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (training-data ANN
+    baseline): broadcast the 5 query vectors against all candidates,
+    window top-5 per query. Ids-only output so float noise cannot flip
+    the hash (ordering ties broken by neighbor id)."""
+    from pyspark.sql import Window
+    from datacheck_spark.dedup import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+@_q("transcript_violations", None)
+def transcript_violations(spark, sf_dir):
+    """Flagship: fused transcript rule suite violation rows
+    (conv_id, turn_idx, rule_id, observed) over the deterministic
+    synthetic transcripts table, stable turn ordering. Rows-only check
+    (the generator is engine-side)."""
+    from datacheck_spark.transcripts import (
+        generate_transcripts,
+        TranscriptChecker,
+    )
+
+    df = generate_transcripts(spark, n_convs=200, turns_per_conv=10)
+    return TranscriptChecker(include_repetitive=False).violations(df)
+
+
+def queries() -> Dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> Dict[str, str]:
+    return dict(_ORACLES)

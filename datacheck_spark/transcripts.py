@@ -1,0 +1,378 @@
+"""Synthetic transcripts table + the flagship transcript check pipeline.
+
+The production target (BASELINE.json ``input_hint``) is an Iceberg table
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)`` at 10^12 turns. This module provides:
+
+- ``generate_transcripts``: a fully *distributed, deterministic* synthetic
+  generator (seeded xxhash64 column expressions — no Python RNG, no
+  wall-clock, no driver-side loops) with planted violations per
+  FIXTURES.md F1: blank/null text, PII, garbled bytes, repetition,
+  oversized turns, invalid roles, orphan tools, duplicate
+  ``(conv_id, turn_idx)`` keys, and hot (skewed) conversations.
+- ``TranscriptChecker``: the fused rule suite + uniqueness + referential
+  + anomaly pipeline over a transcripts DataFrame — the engine's
+  flagship end-to-end path used by ``__spark_entry__.entry`` and
+  ``bench.py``.
+
+Scale design: the generator emits ``conv_bucket`` (hash bucket of
+conv_id) so writes can be partitioned the way the north rule prescribes
+(``bucket(N, conv_id)`` + ``days(ts)``); the checker never collects row
+data — only aggregate rows and bounded violation samples.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datacheck_spark.schema import Severity, TRANSCRIPT_ROLES, ValidationSchema
+from datacheck_spark.engine import ValidationEngine, HAS_ERROR, RULE_PREFIX
+from datacheck_spark.rules.compiler import (
+    CompiledRule,
+    RuleDef,
+    RuleSet,
+)
+from datacheck_spark.rules import text as T
+
+_WORDS = [
+    "data", "check", "spark", "table", "query", "join", "group", "filter",
+    "window", "stream", "batch", "merge", "sort", "hash", "scan", "agg",
+    "row", "column", "value", "key", "index", "cache", "shuffle", "stage",
+]
+
+_ZH = "数据质量检查引擎在大规模对话转录表上运行良好"
+
+#: deterministic epoch for ts generation (no wall-clock)
+_EPOCH = "2026-01-01 00:00:00"
+
+TOOL_VOCAB = [f"tool_{i}" for i in range(8)]
+
+
+def _h(*cols, seed: int) -> Column:
+    """Seeded 64-bit hash of the given columns; non-negative."""
+    return F.abs(F.xxhash64(*cols, F.lit(seed)))
+
+
+def generate_transcripts(
+    spark: SparkSession,
+    n_convs: int = 1000,
+    turns_per_conv: int = 10,
+    n_hot_convs: int = 2,
+    hot_factor: int = 100,
+    seed: int = 42,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic synthetic transcripts with planted violations.
+
+    Violation plants (FIXTURES.md F1), selected by seeded hash buckets
+    per (conv, turn) so expected counts are exactly recomputable:
+
+    - bucket 0-9    (~1.0%): null or blank text        → non_empty
+    - bucket 10-19  (~1.0%): PII (email/phone/id)      → pii_detection
+    - bucket 20-24  (~0.5%): control chars / mojibake  → garbled_text
+    - bucket 25-29  (~0.5%): repeated sentence ×50     → repetitive_text
+    - bucket 30-32  (~0.3%): 5000-char turn            → length anomaly
+    - role bucket 0-1 of 1000 (~0.2%): invalid role    → role_valid
+    - tool bucket 0-1 of 1000 (~0.2%): orphan tool     → referential
+    - dup bucket 0-4 of 1000 (~0.5%): row duplicated   → uniqueness
+    """
+    conv = spark.range(n_convs).select(F.col("id").alias("cid"))
+    turns = F.when(
+        F.col("cid") < n_hot_convs, turns_per_conv * hot_factor
+    ).otherwise(
+        # 2..2*turns_per_conv, deterministic per conv
+        2 + F.pmod(_h(F.col("cid"), seed=seed + 1), 2 * turns_per_conv - 1)
+    )
+    base = conv.select(
+        "cid", F.explode(F.sequence(F.lit(0), turns - 1)).alias("turn_idx")
+    )
+
+    cid, turn = F.col("cid"), F.col("turn_idx")
+    bucket = F.pmod(_h(cid, turn, seed=seed), 1000)  # plant selector
+    word = lambda k: F.element_at(  # noqa: E731
+        F.array(*[F.lit(w) for w in _WORDS]),
+        (F.pmod(_h(cid, turn, F.lit(k), seed=seed + 2), len(_WORDS)) + 1).cast(
+            "int"
+        ),
+    )
+    normal_text = F.concat_ws(" ", *[word(k) for k in range(12)])
+
+    text = (
+        F.when(bucket < 5, F.lit(None).cast("string"))
+        .when(bucket < 10, F.lit("   "))
+        .when(bucket < 14, F.concat(F.lit("contact user"), cid.cast("string"), F.lit("@example.com soon")))
+        .when(bucket < 17, F.concat(F.lit("call 138"), F.lpad(F.pmod(_h(cid, turn, seed=seed + 3), 100000000).cast("string"), 8, "0"), F.lit(" now")))
+        .when(bucket < 20, F.lit("id is 110101199001011234 ok"))
+        .when(bucket < 25, F.concat(F.lit("bad\x00\x01\x02\x03 bytes here "), normal_text))
+        .when(bucket < 30, F.repeat(F.lit("This is repeated. "), 50))
+        .when(bucket < 33, F.repeat(F.lit("x"), 5000))
+        .when(bucket < 38, F.concat(F.lit(_ZH), F.lit(" "), normal_text))
+        .otherwise(normal_text)
+    )
+
+    role_bucket = F.pmod(_h(cid, turn, seed=seed + 4), 1000)
+    role = F.when(role_bucket < 2, F.lit("robot")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(r) for r in TRANSCRIPT_ROLES]),
+            (F.pmod(turn, 4) + 1).cast("int"),
+        )
+    )
+
+    tool_bucket = F.pmod(_h(cid, turn, seed=seed + 5), 1000)
+    tool = (
+        F.when(
+            tool_bucket < 2,
+            F.concat(F.lit("tool_zz_"), F.pmod(tool_bucket, 7).cast("string")),
+        )
+        .when(
+            (tool_bucket < 200) & (role == "tool"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in TOOL_VOCAB]),
+                (F.pmod(tool_bucket, len(TOOL_VOCAB)) + 1).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    ts = F.to_timestamp(F.lit(_EPOCH)) + F.make_dt_interval(
+        F.pmod(cid, 30).cast("int"),  # spread over 30 days
+        F.lit(0),
+        F.lit(0),
+        turn.cast("double") * 7.0,  # monotone within conversation
+    )
+
+    df = base.select(
+        F.format_string("conv_%06d", cid).alias("conv_id"),
+        turn.cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+        bucket.alias("__plant"),
+        F.pmod(_h(cid, turn, seed=seed + 6), 1000).alias("__dup"),
+    )
+
+    dups = df.where(F.col("__dup") < 5)  # ~0.5% duplicated keys
+    out = df.unionAll(dups).drop("__plant", "__dup")
+    return out.withColumn(
+        "conv_bucket",
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
+    )
+
+
+# --- flagship pipeline ----------------------------------------------------
+
+
+def transcript_rule_defs() -> List[RuleDef]:
+    """Fused rule suite for the transcripts table: structural ERROR
+    rules + text-quality WARNING rules scoped to the ``text`` column
+    (the reference applies text rules to every string field of a
+    sample; for transcripts the sample's content IS the text column)."""
+
+    def _key_present(df, schema):
+        return CompiledRule(
+            "key_present",
+            "conv_id/turn_idx present",
+            Severity.ERROR,
+            F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull(),
+        )
+
+    def _turn_nonneg(df, schema):
+        return CompiledRule(
+            "turn_idx_nonneg",
+            "turn_idx >= 0",
+            Severity.ERROR,
+            F.col("turn_idx").isNull() | (F.col("turn_idx") >= 0),
+            F.col("turn_idx").cast("string"),
+        )
+
+    def _role_valid(df, schema):
+        return CompiledRule(
+            "role_valid",
+            "role in vocabulary",
+            Severity.ERROR,
+            F.col("role").isNotNull() & F.col("role").isin(TRANSCRIPT_ROLES),
+            F.col("role"),
+        )
+
+    def _text_non_empty(df, schema):
+        c = F.col("text")
+        return CompiledRule(
+            "text_non_empty",
+            "text non-empty",
+            Severity.ERROR,
+            c.isNotNull() & (F.length(F.trim(c)) > 0),
+            F.substring(c, 1, 80),
+        )
+
+    def _text_length(df, schema):
+        c = F.col("text")
+        return CompiledRule(
+            "text_length_bounds",
+            "text length bounds",
+            Severity.WARNING,
+            c.isNull()
+            | F.length(c).between(schema.min_length, schema.max_length),
+            F.length(c).cast("string"),
+        )
+
+    def _pii(df, schema):
+        return CompiledRule(
+            "pii_detection",
+            "PII in text",
+            Severity.WARNING,
+            T.pii_clean(F.col("text")),
+            F.substring(F.col("text"), 1, 80),
+        )
+
+    def _garbled(df, schema):
+        return CompiledRule(
+            "garbled_text",
+            "garbled text",
+            Severity.WARNING,
+            T.garbled_clean(F.col("text")),
+            F.substring(F.col("text"), 1, 80),
+        )
+
+    def _repetitive(df, schema):
+        return CompiledRule(
+            "repetitive_text",
+            "repetitive text",
+            Severity.WARNING,
+            T.repetitive_clean(F.col("text")),
+            F.substring(F.col("text"), 1, 80),
+        )
+
+    return [
+        RuleDef("key_present", "conv_id/turn_idx present", Severity.ERROR, _key_present),
+        RuleDef("turn_idx_nonneg", "turn_idx >= 0", Severity.ERROR, _turn_nonneg),
+        RuleDef("role_valid", "role in vocabulary", Severity.ERROR, _role_valid),
+        RuleDef("text_non_empty", "text non-empty", Severity.ERROR, _text_non_empty),
+        RuleDef("text_length_bounds", "text length bounds", Severity.WARNING, _text_length),
+        RuleDef("pii_detection", "PII in text", Severity.WARNING, _pii),
+        RuleDef("garbled_text", "garbled text", Severity.WARNING, _garbled),
+        RuleDef("repetitive_text", "repetitive text", Severity.WARNING, _repetitive),
+    ]
+
+
+def get_transcript_rule_suite(include_repetitive: bool = True) -> RuleSet:
+    rs = RuleSet("transcripts", load_builtins=False)
+    for rd in transcript_rule_defs():
+        if rd.rule_id == "repetitive_text" and not include_repetitive:
+            continue
+        rs.add_rule(rd)
+    return rs
+
+
+@dataclass
+class TranscriptCheckReport:
+    total_turns: int = 0
+    passed_turns: int = 0
+    failed_turns: int = 0
+    pass_rate: float = 0.0
+    error_count: int = 0
+    warning_count: int = 0
+    rule_results: Dict[str, Dict[str, Any]] = dc_field(default_factory=dict)
+    duplicate_keys: int = 0
+    orphan_tools: int = 0
+    anomaly_count: int = 0
+    anomalies: Dict[str, Any] = dc_field(default_factory=dict)
+
+
+class TranscriptChecker:
+    """End-to-end transcript validation: ONE cached scan feeding
+    (a) the fused rule projection + summary agg,
+    (b) uniqueness on (conv_id, turn_idx),
+    (c) referential tool check (broadcast anti-join),
+    (d) text-length anomaly detection.
+
+    This is the job shape the north rule prescribes; each consumer is a
+    single shuffle (or none).
+    """
+
+    def __init__(
+        self,
+        schema: Optional[ValidationSchema] = None,
+        tool_vocab: Optional[Sequence[str]] = None,
+        include_repetitive: bool = True,
+    ):
+        self.engine = ValidationEngine(
+            ruleset=get_transcript_rule_suite(include_repetitive),
+            schema=schema or ValidationSchema(),
+        )
+        self.tool_vocab = list(tool_vocab or TOOL_VOCAB)
+
+    def annotated(self, df: DataFrame) -> DataFrame:
+        return self.engine.annotate(df)
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        """(conv_id, turn_idx, rule_id, observed) under stable turn
+        ordering — the exact violation-row contract."""
+        return self.engine.violations(df, key_cols=["conv_id", "turn_idx"])
+
+    def run(
+        self,
+        df: DataFrame,
+        tools_df: Optional[DataFrame] = None,
+        detect_anomalies: bool = True,
+        persist: bool = True,
+    ) -> TranscriptCheckReport:
+        from datacheck_spark import anomaly as A
+        from datacheck_spark import dedup as D
+        from datacheck_spark import referential as R
+
+        rules = self.engine.compile(df)
+        annotated = self.engine.annotate(df, rules=rules)
+        if persist:
+            annotated = annotated.persist()
+        try:
+            base = self.engine.summarize(
+                annotated, rules, id_col=None, collect_failed_ids=False
+            )
+            report = TranscriptCheckReport(
+                total_turns=base.total_samples,
+                passed_turns=base.passed_samples,
+                failed_turns=base.failed_samples,
+                pass_rate=base.pass_rate,
+                error_count=base.error_count,
+                warning_count=base.warning_count,
+                rule_results=base.rule_results,
+            )
+            if base.total_samples == 0:
+                return report
+
+            report.duplicate_keys = (
+                D.duplicate_key_rows(annotated, ["conv_id", "turn_idx"])
+                .agg(F.sum("dup_count"))
+                .collect()[0][0]
+                or 0
+            )
+
+            if tools_df is None:
+                spark = df.sparkSession
+                tools_df = spark.createDataFrame(
+                    [(t,) for t in self.tool_vocab], ["tool_name"]
+                )
+            report.orphan_tools = R.orphan_count(
+                annotated.where(F.col("tool").isNotNull()),
+                "tool",
+                tools_df,
+                "tool_name",
+                broadcast_dim=True,
+            )
+
+            if detect_anomalies:
+                report.anomalies = A.detect_anomalies(
+                    annotated, cols=["text", "turn_idx"], key_cols=["conv_id", "turn_idx"]
+                )
+                report.anomaly_count = sum(
+                    a["outlier_count"] for a in report.anomalies.values()
+                )
+            return report
+        finally:
+            if persist:
+                annotated.unpersist()
