@@ -1,0 +1,223 @@
+"""spark-submit CLI: check / fix / infer / drift / contribute / bench.
+
+Reference CLI surface: ``/root/reference/src/datacheck/cli.py`` (click
+commands check/validate/compare/rules/infer/fix/contribute/diff/watch).
+Here a stdlib-argparse entrypoint suitable for
+``spark-submit --py-files datacheck_spark.zip cli.py check ...``.
+Exit codes follow the reference gate (``cli.py:42-43,169-175``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+
+def _spark(app: str, master: Optional[str] = None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def cmd_check(args) -> int:
+    from datacheck_spark import sources as SRC
+    from datacheck_spark.engine import ValidationEngine
+    from datacheck_spark.rules.compiler import (
+        RuleSet,
+        get_annotation_ruleset,
+        get_preference_ruleset,
+        get_sft_ruleset,
+        ruleset_from_yaml,
+    )
+    from datacheck_spark.report import gate, save_report, to_markdown
+    from datacheck_spark.schema import ValidationSchema
+
+    spark = _spark("datacheck-check", args.master)
+    if args.rules_file:
+        ruleset = ruleset_from_yaml(args.rules_file)
+    elif args.ruleset == "sft":
+        ruleset = get_sft_ruleset()
+    elif args.ruleset == "preference":
+        ruleset = get_preference_ruleset()
+    elif args.ruleset == "annotation":
+        ruleset = get_annotation_ruleset()
+    else:
+        ruleset = RuleSet()
+
+    schema = ValidationSchema()
+    if args.schema:
+        with open(args.schema, "r", encoding="utf-8") as f:
+            schema = ValidationSchema.from_dict(json.load(f))
+
+    from pathlib import Path
+
+    engine = ValidationEngine(ruleset=ruleset, schema=schema)
+    p = Path(args.data)
+    if p.is_dir():
+        out = SRC.check_directory(spark, args.data, engine=engine)
+        print(json.dumps(out, indent=2, ensure_ascii=False))
+        return 0 if out.get("overall_pass_rate", 0) >= args.threshold else 1
+
+    if p.suffix.lower() == ".parquet" or args.format == "parquet":
+        df = spark.read.parquet(args.data)
+        embedded = {}
+    else:
+        df, embedded = SRC.load_data(spark, args.data)
+    if embedded and not args.schema:
+        schema = ValidationSchema.from_dict(embedded)
+        engine = ValidationEngine(ruleset=ruleset, schema=schema)
+
+    df, sampled = SRC.sample_df(df, args.sample, args.sample_rate)
+    result = engine.check(df)
+    result.sampled = sampled
+    if args.output:
+        save_report(result, args.output)
+    print(to_markdown(result))
+    return gate(result, threshold=args.threshold, strict=args.strict)
+
+
+def cmd_fix(args) -> int:
+    from datacheck_spark import sources as SRC
+    from datacheck_spark.fixer import DataFixer
+
+    spark = _spark("datacheck-fix", args.master)
+    df, _ = SRC.load_data(spark, args.data)
+    fixed, res = DataFixer().fix(
+        df,
+        dedup=not args.no_dedup,
+        trim=not args.no_trim,
+        remove_empty=not args.no_remove_empty,
+        strip_pii=args.strip_pii,
+    )
+    SRC.write_jsonl(fixed, args.output)
+    print(json.dumps(res.__dict__, ensure_ascii=False))
+    return 0
+
+
+def cmd_infer(args) -> int:
+    from datacheck_spark import sources as SRC
+    from datacheck_spark.stats import infer_schema
+
+    spark = _spark("datacheck-infer", args.master)
+    df, _ = SRC.load_data(spark, args.data)
+    schema = infer_schema(df)
+    out = json.dumps(schema, indent=2, ensure_ascii=False, default=str)
+    if args.output:
+        from pathlib import Path
+
+        Path(args.output).write_text(out, encoding="utf-8")
+    print(out)
+    return 0
+
+
+def cmd_drift(args) -> int:
+    from datacheck_spark.drift import drift_report
+
+    spark = _spark("datacheck-drift", args.master)
+    a = spark.read.parquet(args.data_a)
+    b = spark.read.parquet(args.data_b)
+    rep = drift_report(a, b)
+    print(json.dumps(rep, indent=2, ensure_ascii=False, default=str))
+    return 0
+
+
+def cmd_transcripts(args) -> int:
+    """Full transcript validation over a parquet/Iceberg table with
+    optional checkpoint/resume — the production flagship job."""
+    from datacheck_spark.transcripts import TranscriptChecker
+    from datacheck_spark.checkpoint import checkpointed_violations
+
+    spark = _spark("datacheck-transcripts", args.master)
+    df = spark.read.parquet(args.data)
+    checker = TranscriptChecker()
+    if args.checkpoint:
+        state = checkpointed_violations(
+            df,
+            checker,
+            args.checkpoint,
+            rule_version=args.rule_version,
+            n_buckets=args.buckets,
+        )
+        print(
+            json.dumps(
+                {"completed_buckets": state.completed}, ensure_ascii=False
+            )
+        )
+    report = checker.run(df)
+    print(
+        json.dumps(
+            {
+                "total_turns": report.total_turns,
+                "pass_rate": round(report.pass_rate, 4),
+                "error_count": report.error_count,
+                "warning_count": report.warning_count,
+                "duplicate_keys": report.duplicate_keys,
+                "orphan_tools": report.orphan_tools,
+                "anomaly_count": report.anomaly_count,
+            },
+            ensure_ascii=False,
+        )
+    )
+    return 0 if report.pass_rate >= args.threshold else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="datacheck-spark")
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("check")
+    c.add_argument("data")
+    c.add_argument("--ruleset", default="default")
+    c.add_argument("--rules-file")
+    c.add_argument("-s", "--schema")
+    c.add_argument("--format", default=None)
+    c.add_argument("--threshold", type=float, default=0.5)
+    c.add_argument("--strict", action="store_true")
+    c.add_argument("--sample", type=int, default=None)
+    c.add_argument("--sample-rate", type=float, default=None)
+    c.add_argument("-o", "--output")
+    c.set_defaults(fn=cmd_check)
+
+    f = sub.add_parser("fix")
+    f.add_argument("data")
+    f.add_argument("-o", "--output", required=True)
+    f.add_argument("--no-dedup", action="store_true")
+    f.add_argument("--no-trim", action="store_true")
+    f.add_argument("--no-remove-empty", action="store_true")
+    f.add_argument("--strip-pii", action="store_true")
+    f.set_defaults(fn=cmd_fix)
+
+    i = sub.add_parser("infer")
+    i.add_argument("data")
+    i.add_argument("-o", "--output")
+    i.set_defaults(fn=cmd_infer)
+
+    d = sub.add_parser("drift")
+    d.add_argument("data_a")
+    d.add_argument("data_b")
+    d.set_defaults(fn=cmd_drift)
+
+    t = sub.add_parser("transcripts")
+    t.add_argument("data")
+    t.add_argument("--checkpoint")
+    t.add_argument("--rule-version", default="v1")
+    t.add_argument("--buckets", type=int, default=32)
+    t.add_argument("--threshold", type=float, default=0.0)
+    t.set_defaults(fn=cmd_transcripts)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

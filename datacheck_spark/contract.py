@@ -801,6 +801,125 @@ def embedding_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "ks_events_halves",
+    """
+    WITH tagged AS (
+      SELECT value AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b
+      FROM events WHERE value IS NOT NULL
+    ), counts AS (
+      SELECT v, sum(a) AS ca, sum(b) AS cb FROM tagged GROUP BY v
+    ), totals AS (
+      SELECT sum(ca)::DOUBLE AS na, sum(cb)::DOUBLE AS nb FROM counts
+    ), steps AS (
+      SELECT sum(ca) OVER (ORDER BY v) / (SELECT na FROM totals) AS fa,
+             sum(cb) OVER (ORDER BY v) / (SELECT nb FROM totals) AS fb
+      FROM counts
+    )
+    SELECT round(max(abs(fa - fb)), 6) AS ks FROM steps
+    """,
+)
+def ks_events_halves(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov distance (north_star drift
+    upgrade): distributed groupBy-on-value + cumulative window."""
+    from datacheck_spark.drift import ks_statistic
+
+    df = _t(spark, sf_dir, "events")
+    a = df.where(F.col("event_id") % 2 == 0)
+    b = df.where(F.col("event_id") % 2 == 1)
+    ks = round(ks_statistic(a, b, "value"), 6)
+    return spark.createDataFrame([(ks,)], "ks double")
+
+
+@_q(
+    "psi_events_halves",
+    """
+    WITH a AS (SELECT value AS v FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+         b AS (SELECT value AS v FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+         e AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q FROM a),
+         abin AS (SELECT count(*)::DOUBLE / (SELECT count(*) FROM a) AS p,
+                         bin FROM (
+                    SELECT CASE WHEN v <= q[1] THEN 0 WHEN v <= q[2] THEN 1
+                                WHEN v <= q[3] THEN 2 WHEN v <= q[4] THEN 3
+                                WHEN v <= q[5] THEN 4 WHEN v <= q[6] THEN 5
+                                WHEN v <= q[7] THEN 6 WHEN v <= q[8] THEN 7
+                                WHEN v <= q[9] THEN 8 ELSE 9 END AS bin
+                    FROM a, e) GROUP BY bin),
+         bbin AS (SELECT count(*)::DOUBLE / (SELECT count(*) FROM b) AS p,
+                         bin FROM (
+                    SELECT CASE WHEN v <= q[1] THEN 0 WHEN v <= q[2] THEN 1
+                                WHEN v <= q[3] THEN 2 WHEN v <= q[4] THEN 3
+                                WHEN v <= q[5] THEN 4 WHEN v <= q[6] THEN 5
+                                WHEN v <= q[7] THEN 6 WHEN v <= q[8] THEN 7
+                                WHEN v <= q[9] THEN 8 ELSE 9 END AS bin
+                    FROM b, e) GROUP BY bin),
+         bins AS (SELECT i AS bin FROM range(10) t(i))
+    SELECT round(sum(
+             (greatest(coalesce(abin.p, 0), 1e-6) - greatest(coalesce(bbin.p, 0), 1e-6))
+             * ln(greatest(coalesce(abin.p, 0), 1e-6) / greatest(coalesce(bbin.p, 0), 1e-6))
+           ), 6) AS psi
+    FROM bins LEFT JOIN abin USING (bin) LEFT JOIN bbin USING (bin)
+    """,
+)
+def psi_events_halves(spark, sf_dir):
+    """Population Stability Index over exact decile bins of side A
+    (north_star drift upgrade)."""
+    from datacheck_spark.drift import psi
+
+    df = _t(spark, sf_dir, "events")
+    a = df.where(F.col("event_id") % 2 == 0)
+    b = df.where(F.col("event_id") % 2 == 1)
+    val = round(psi(a, b, "value", bins=10, exact_edges=True), 6)
+    return spark.createDataFrame([(val,)], "psi double")
+
+
+@_q(
+    "bpeish_token_count_docs",
+    """
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN 0 ELSE CEIL(
+             length(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> length(x) > 0))::DOUBLE * 1.3
+             + length(regexp_replace(text, '[^0-9]', '', 'g'))
+             + length(list_filter(regexp_split_to_array(text, '[A-Za-z0-9\\s]+'), x -> length(x) > 0))
+           ) END::BIGINT AS n_tokens_bpe
+    FROM documents ORDER BY doc_id
+    """,
+)
+def bpeish_token_count_docs(spark, sf_dir):
+    """BPE-ish token-count estimator (training-data budget planning)."""
+    from datacheck_spark.textstats import bpeish_token_count
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", bpeish_token_count(F.col("text")).alias("n_tokens_bpe")
+    ).orderBy("doc_id")
+
+
+@_q("ivf_topk_embeddings", None)
+def ivf_topk_embeddings(spark, sf_dir):
+    """IVF (hyperplane-cell) approximate top-k similarity search —
+    scale path of the ANN op. Rows-only (cell seeds are engine-side)."""
+    from datacheck_spark.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    c = emb.where(F.col("vec_id") >= 5)
+    return ivf_topk(c, q, k=5, planes=4).orderBy("query_id", "rank")
+
+
+@_q("media_features", None)
+def media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic binary media table →
+    Arrow-batched mapInPandas feature extraction (stubbed decode).
+    Rows-only."""
+    from datacheck_spark.multimodal import extract_media_features, synthetic_media
+
+    media = synthetic_media(spark, n=200)
+    return extract_media_features(media).orderBy("media_id")
+
+
 @_q("transcript_violations", None)
 def transcript_violations(spark, sf_dir):
     """Flagship: fused transcript rule suite violation rows

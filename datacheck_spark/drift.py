@@ -196,6 +196,7 @@ def psi(
     col: str,
     bins: int = 10,
     epsilon: float = 1e-6,
+    exact_edges: bool = False,
 ) -> float:
     """Population Stability Index over quantile bins of the reference
     side ``a``: PSI = Σ (pa − pb) · ln(pa / pb).
@@ -215,7 +216,17 @@ def psi(
     if na == 0 or nb == 0:
         return 0.0
     qs = [i / bins for i in range(1, bins)]
-    edges = sorted(set(va.approxQuantile("v", qs, 1e-4)))
+    if exact_edges:
+        # exact linear-interp percentiles (matches DuckDB quantile_cont)
+        edges = sorted(
+            set(
+                va.agg(
+                    F.percentile("v", F.lit(qs)).alias("e")
+                ).collect()[0]["e"]
+            )
+        )
+    else:
+        edges = sorted(set(va.approxQuantile("v", qs, 1e-4)))
 
     def bin_expr():
         expr = F.lit(len(edges))

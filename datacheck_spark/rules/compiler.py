@@ -697,14 +697,23 @@ def _eval_condition_column(val: Column, operator: str, target: Any) -> Column:
     return F.when(val.isNull(), F.lit(False)).otherwise(cmp)
 
 
+KNOWN_CHECK_TYPES = {
+    "required", "non_empty", "min_length", "max_length", "regex",
+    "enum", "conditional_required", "number_range",
+}
+
+
 def ruleset_from_config(config: Dict[str, Any], name: str = "config") -> RuleSet:
     """Build a RuleSet from a parsed YAML/JSON config dict
     (``rules.py:223-260``). Rule ids follow the reference pattern
-    ``config_{field}_{check}_{i}``; ``message`` becomes the rule name."""
+    ``config_{field}_{check}_{i}``; ``message`` becomes the rule name.
+    Unknown check types raise at load time (``rules.py:338-339``)."""
     rs = RuleSet(name=config.get("name", name))
     for i, rule_def in enumerate(config.get("rules", [])):
         field_name = rule_def["field"]
         check_type = rule_def["check"]
+        if check_type not in KNOWN_CHECK_TYPES:
+            raise ValueError(f"unknown check type: {check_type}")
         severity = Severity(rule_def.get("severity", "warning"))
         enabled = rule_def.get("enabled", True)
         rule_id = f"config_{field_name}_{check_type}_{i}"

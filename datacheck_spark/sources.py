@@ -1,0 +1,194 @@
+"""Sources/sinks: JSONL / CSV / JSON-envelope readers, directory batch
+checks, report-shaped writers.
+
+Reference: ``_load_data`` (``checker.py:183-218``) detects format by
+extension; JSON files may be a bare list or a
+``{samples|responses: [...], schema: {...}}`` envelope; CSV values are
+all strings (``csv.DictReader``). Directory checks rglob the supported
+extensions and aggregate per-file results (``checker.py:280-365``).
+
+Spark mapping (SURVEY §2.1): line-delimited JSON is ``spark.read.json``'s
+native mode; the JSON envelope needs a multiLine read + explode; CSV
+reads with ``header=True`` and *no* inferSchema to preserve the
+all-strings reference semantics; directory scans use glob paths +
+``input_file_name()`` so per-file aggregation is ONE job over all files
+instead of a driver loop.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SUPPORTED_EXTENSIONS = {".json", ".jsonl", ".csv"}  # checker.py:41
+
+
+def load_data(
+    spark: SparkSession, path: str
+) -> Tuple[DataFrame, Dict[str, Any]]:
+    """Load one data file, detecting format by extension
+    (``checker.py:183-218``). Returns (df, embedded_schema)."""
+    p = Path(path)
+    suffix = p.suffix.lower()
+    if suffix == ".jsonl":
+        return spark.read.json(path), {}
+    if suffix == ".csv":
+        # all-string typing preserved (reference DictReader semantics)
+        return spark.read.csv(path, header=True, inferSchema=False), {}
+    # .json: list or envelope; the envelope/schema sidecar is read on
+    # the driver (it is metadata-scale, not data-scale)
+    with open(path, "r", encoding="utf-8") as f:
+        data = json.load(f)
+    if isinstance(data, list):
+        samples, schema = data, {}
+    else:
+        samples = data.get("samples", data.get("responses", []))
+        schema = data.get("schema", {})
+    df = spark.createDataFrame(samples) if samples else spark.createDataFrame(
+        [], "id string"
+    )
+    return df, schema
+
+
+def load_glob(
+    spark: SparkSession,
+    dir_path: str,
+    patterns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Read every supported file under a directory into one DataFrame
+    tagged with ``source_file`` — the distributed replacement for the
+    reference's per-file loop (``checker.py:311-324``).
+
+    JSONL and JSON-list files go through one ``spark.read.json``; CSVs
+    through one ``spark.read.csv``; the union is by column name.
+    """
+    root = Path(dir_path)
+    files = sorted(
+        f
+        for pat in (patterns or [f"*{e}" for e in SUPPORTED_EXTENSIONS])
+        for f in root.rglob(pat)
+        if f.is_file() and f.suffix.lower() in SUPPORTED_EXTENSIONS
+    )
+    json_files = [str(f) for f in files if f.suffix.lower() in (".json", ".jsonl")]
+    csv_files = [str(f) for f in files if f.suffix.lower() == ".csv"]
+    parts: List[DataFrame] = []
+    if json_files:
+        parts.append(
+            spark.read.option("multiLine", "false")
+            .json(json_files)
+            .withColumn("source_file", F.input_file_name())
+        )
+    if csv_files:
+        parts.append(
+            spark.read.csv(csv_files, header=True, inferSchema=False)
+            .withColumn("source_file", F.input_file_name())
+        )
+    if not parts:
+        return spark.createDataFrame([], "source_file string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def check_directory(
+    spark: SparkSession,
+    dir_path: str,
+    engine=None,
+    patterns: Optional[List[str]] = None,
+) -> Dict[str, Any]:
+    """Batch directory check (``checker.py:280-365``): per-file
+    pass/fail aggregation via ONE fused pass + groupBy(source_file) —
+    not a file loop.
+
+    Returns the BatchCheckResult shape: per-file totals, overall pass
+    rate, passed_files (= files with zero ERROR failures), skipped
+    files (unreadable)."""
+    from datacheck_spark.engine import ValidationEngine, HAS_ERROR
+
+    engine = engine or ValidationEngine()
+    root = Path(dir_path)
+    if not root.is_dir():
+        return {"success": False, "error": f"not a directory: {dir_path}"}
+
+    skipped: List[str] = []
+    df = load_glob(spark, dir_path, patterns)
+    if "source_file" not in df.columns or not df.columns:
+        return {
+            "success": True,
+            "total_files": 0,
+            "overall_pass_rate": 1.0,
+            "file_results": {},
+            "skipped_files": skipped,
+        }
+
+    annotated = engine.annotate(df)
+
+    per_file = (
+        annotated.groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((~F.col(HAS_ERROR)).cast("long")).alias("passed"),
+        )
+        .orderBy("source_file")
+        .collect()
+    )
+    file_results = {}
+    total = passed = 0
+    for r in per_file:
+        name = r["source_file"].split("/")[-1]
+        file_results[name] = {
+            "total_samples": r["total"],
+            "passed_samples": r["passed"],
+            "failed_samples": r["total"] - r["passed"],
+            "pass_rate": round(r["passed"] / r["total"], 4) if r["total"] else 1.0,
+        }
+        total += r["total"]
+        passed += r["passed"]
+    return {
+        "success": True,
+        "directory": str(root),
+        "total_files": len(file_results),
+        "file_results": file_results,
+        "total_samples": total,
+        "total_passed_samples": passed,
+        "total_failed_samples": total - passed,
+        "overall_pass_rate": round(passed / total, 4) if total else 1.0,
+        "passed_files": sum(
+            1 for fr in file_results.values() if fr["failed_samples"] == 0
+        ),
+        "skipped_files": skipped,
+    }
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink (``fixer.py:112-117``); at scale prefer
+    ``df.write.parquet`` / Iceberg append."""
+    df.write.mode("overwrite").json(path)
+
+
+def sample_df(
+    df: DataFrame,
+    sample_count: Optional[int] = None,
+    sample_rate: Optional[float] = None,
+    seed: int = 42,
+) -> Tuple[DataFrame, bool]:
+    """Seeded sampling (``checker.py:255-264``; the reference is
+    unseeded — we seed for reproducibility). Exact-N uses
+    ``orderBy(rand).limit`` (one shuffle); rate uses ``df.sample``
+    (no shuffle)."""
+    if sample_count is not None:
+        n = df.count()
+        if sample_count < n:
+            return (
+                df.orderBy(F.rand(seed)).limit(sample_count),
+                True,
+            )
+        return df, False
+    if sample_rate is not None and 0 < sample_rate < 1.0:
+        return df.sample(fraction=sample_rate, seed=seed), True
+    return df, False

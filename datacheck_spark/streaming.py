@@ -1,0 +1,105 @@
+"""Structured Streaming validation: incremental checking of arriving
+transcript/data files.
+
+The reference's closest feature is watch mode (``cli.py:500-598``) — a
+filesystem-event *re-run* loop with a 2s debounce, not incremental
+computation. Here the same capability is expressed Spark-first:
+``readStream`` over a directory (or Kafka at scale) → the SAME fused
+rule projection (rule compilation is plan-side, so batch and streaming
+share one implementation) → windowed aggregation with a watermark for
+late events → ``foreachBatch`` or append sinks for violations.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from datacheck_spark.engine import ValidationEngine, HAS_ERROR, RULE_PREFIX
+
+
+def stream_validate(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    engine: Optional[ValidationEngine] = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """readStream → fused rule pass. Returns the annotated streaming
+    DataFrame (one boolean per rule + verdict), ready for windowed
+    aggregation or a violations sink."""
+    engine = engine or ValidationEngine()
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    stream = reader.load(input_path)
+    return engine.annotate(stream)
+
+
+def windowed_pass_rates(
+    annotated: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window pass rates — late rows beyond the
+    watermark are dropped deterministically (the streaming analogue of
+    the batch summary agg)."""
+    return (
+        annotated.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((~F.col(HAS_ERROR)).cast("long")).alias("passed"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "total",
+            "passed",
+            (F.col("passed") / F.col("total")).alias("pass_rate"),
+        )
+    )
+
+
+def start_violations_sink(
+    annotated: DataFrame,
+    key_cols,
+    output_path: str,
+    checkpoint_path: str,
+    trigger_seconds: int = 10,
+) -> StreamingQuery:
+    """foreachBatch sink writing per-microbatch violation rows to
+    parquet — exactly-once via the streaming checkpoint; each batch is
+    the same unpivot the batch engine uses."""
+
+    rule_cols = [
+        c for c in annotated.columns if c.startswith(RULE_PREFIX)
+    ]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        entries = [
+            F.when(
+                ~F.col(rc),
+                F.lit(rc[len(RULE_PREFIX):]),
+            )
+            for rc in rule_cols
+        ]
+        out = (
+            batch_df.select(
+                *key_cols,
+                F.explode(F.array_compact(F.array(*entries))).alias("rule_id"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        out.write.mode("append").parquet(output_path)
+
+    return (
+        annotated.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

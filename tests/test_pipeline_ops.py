@@ -1,0 +1,181 @@
+"""Training-data pipeline ops: textstats, similarity search, multimodal
+plumbing, streaming validation."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datacheck_spark import textstats as TS
+from datacheck_spark import similarity as SIM
+from datacheck_spark import multimodal as MM
+
+
+class TestTextStats:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [Row(i=0, t="three word tokens"), Row(i=1, t="  "), Row(i=2, t=None),
+             Row(i=3, t="a")]
+        )
+        rows = df.select(
+            "i", TS.whitespace_token_count(F.col("t")).alias("n")
+        ).orderBy("i").collect()
+        assert [r["n"] for r in rows] == [3, 0, 0, 1]
+
+    def test_bpeish_token_count_monotone(self, spark):
+        df = spark.createDataFrame(
+            [Row(i=0, t="short text"), Row(i=1, t="a much longer text with many more words than before")]
+        )
+        rows = df.select("i", TS.bpeish_token_count(F.col("t")).alias("n")).orderBy("i").collect()
+        assert rows[0]["n"] < rows[1]["n"]
+        assert rows[0]["n"] >= 2
+
+    def test_quality_score_ordering(self, spark):
+        good = "This is a well formed paragraph with reasonable words and sentences that flows naturally."
+        bad = "!!!!!!!!!! ??????? !!!!! ,,,,,,, ;;;;;;;"
+        df = spark.createDataFrame([Row(i=0, t=good), Row(i=1, t=bad)])
+        rows = df.select("i", TS.quality_score(F.col("t")).alias("q")).orderBy("i").collect()
+        assert rows[0]["q"] > rows[1]["q"]
+        assert 0.0 <= rows[1]["q"] <= 1.0
+
+    def test_fingerprints(self, spark):
+        df = spark.createDataFrame(
+            [Row(i=0, t="Same   Text here"), Row(i=1, t="same text HERE  "),
+             Row(i=2, t="different")]
+        )
+        rows = df.select(
+            "i",
+            TS.fingerprint_md5(F.col("t")).alias("m"),
+            TS.fingerprint_xx64(F.col("t")).alias("x"),
+        ).orderBy("i").collect()
+        # whitespace/case-normalized: rows 0 and 1 collide... only if
+        # lowercase matches: "same   text here" -> "same text here";
+        # "same text here" -> same. Yes.
+        assert rows[0]["m"] == rows[1]["m"]
+        assert rows[0]["x"] == rows[1]["x"]
+        assert rows[0]["m"] != rows[2]["m"]
+
+    def test_rolling_fingerprints(self, spark):
+        df = spark.createDataFrame([Row(t="x" * 200), Row(t="short"), Row(t="")])
+        rows = df.select(TS.rolling_fingerprints(F.col("t")).alias("f")).collect()
+        assert len(rows[0]["f"]) == (200 - 64) // 32 + 1
+        assert len(rows[1]["f"]) == 1
+        assert rows[2]["f"] == []
+
+    def test_document_profile_schema(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="hello world example")])
+        out = TS.document_profile(df)
+        for c in ("lang_id", "n_tokens_ws", "n_tokens_bpe", "quality",
+                  "quality_score", "fingerprint"):
+            assert c in out.columns
+        row = out.collect()[0]
+        assert row["lang_id"] == "latin"
+        assert row["n_tokens_ws"] == 3
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import math
+
+        rows = []
+        for i in range(50):
+            angle = i * 0.1
+            rows.append(
+                Row(vec_id=i, embedding=[math.cos(angle), math.sin(angle), 0.0, 0.1])
+            )
+        return spark.createDataFrame(rows).cache()
+
+    def test_brute_force_topk(self, emb):
+        q = emb.where(F.col("vec_id") == 0)
+        out = SIM.brute_force_topk(
+            emb.where(F.col("vec_id") > 0), q, k=3
+        ).collect()
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        # nearest neighbors of angle 0 are angles 0.1, 0.2, 0.3
+        assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+
+    def test_ivf_recall_against_brute(self, emb):
+        q = emb.where(F.col("vec_id") < 3)
+        corpus = emb.where(F.col("vec_id") >= 3)
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.brute_force_topk(corpus, q, k=3).collect()
+        }
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(corpus, q, k=3, planes=2).collect()
+        }
+        # coarse cells -> high recall on this smooth manifold
+        assert len(brute & ivf) >= len(brute) // 2
+
+
+class TestMultimodal:
+    def test_synthetic_media_and_features(self, spark):
+        df = MM.synthetic_media(spark, n=30)
+        assert df.count() == 30
+        feats = MM.extract_media_features(df)
+        rows = feats.collect()
+        assert len(rows) == 30
+        assert all(r["n_bytes"] > 0 for r in rows)
+        assert all(r["decoded_width"] >= 64 for r in rows)
+
+    def test_frame_sample_plan(self, spark):
+        df = MM.synthetic_media(spark, n=30)
+        plan = MM.frame_sample_plan(df, every_ms=1000)
+        videos = df.where(F.col("kind") == "video").collect()
+        got = plan.groupBy("media_id").count().collect()
+        assert len(got) == len(videos)
+        by_id = {r["media_id"]: r["count"] for r in got}
+        for v in videos:
+            expected = (v["duration_ms"] - 1) // 1000 + 1
+            assert by_id[v["media_id"]] == expected
+
+    def test_media_rules_fused(self, spark):
+        from datacheck_spark.engine import ValidationEngine
+
+        df = MM.synthetic_media(spark, n=30)
+        rules = MM.media_integrity_rules(df)
+        engine = ValidationEngine()
+        annotated = engine.annotate(df, rules=rules)
+        res = engine.summarize(annotated, rules, id_col="media_id")
+        assert res.total_samples == 30
+        assert res.failed_samples == 0  # synthetic data is clean
+
+
+class TestStreaming:
+    def test_stream_validate_microbatch(self, spark, tmp_path):
+        import time
+
+        from datacheck_spark import streaming as ST
+        from datacheck_spark.transcripts import generate_transcripts
+
+        src = tmp_path / "in"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        df = generate_transcripts(spark, n_convs=50, turns_per_conv=5)
+        df.write.parquet(str(src))
+
+        annotated = ST.stream_validate(
+            spark, str(src), df.schema, fmt="parquet"
+        )
+        q = ST.start_violations_sink(
+            annotated,
+            ["conv_id", "turn_idx"],
+            str(out),
+            str(ckpt),
+            trigger_seconds=1,
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if q.lastProgress and q.lastProgress.get("numInputRows", 0) >= 0 and out.exists():
+                    files = list(out.glob("*.parquet"))
+                    if files:
+                        break
+                time.sleep(1)
+        finally:
+            q.stop()
+        got = spark.read.parquet(str(out))
+        assert got.count() > 0
+        assert set(["conv_id", "turn_idx", "rule_id", "batch_id"]).issubset(
+            set(got.columns)
+        )

@@ -1,0 +1,186 @@
+"""Sources (JSONL/CSV/JSON-envelope, directory batch) and the YAML rule
+compiler — mirrors reference test_checker.py load tests and
+test_cli.py YAML rules tests."""
+
+import json
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datacheck_spark import sources as SRC
+from datacheck_spark.engine import ValidationEngine
+from datacheck_spark.rules.compiler import ruleset_from_config
+from datacheck_spark.schema import Severity, ValidationSchema
+
+
+def test_load_jsonl(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"id": "1", "text": "hello"}\n'
+        "\n"  # blank lines skipped
+        '{"id": "2", "text": "world"}\n',
+        encoding="utf-8",
+    )
+    df, schema = SRC.load_data(spark, str(p))
+    assert df.count() == 2
+    assert schema == {}
+
+
+def test_load_csv_all_strings(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id,score\n1,10\n2,20\n", encoding="utf-8")
+    df, _ = SRC.load_data(spark, str(p))
+    assert dict(df.dtypes)["score"] == "string"  # DictReader semantics
+    assert df.count() == 2
+
+
+def test_load_json_envelope(spark, tmp_path):
+    p = tmp_path / "data.json"
+    p.write_text(
+        json.dumps(
+            {
+                "samples": [{"id": "1", "text": "abc"}],
+                "schema": {"fields": [{"name": "text", "type": "text"}]},
+            }
+        ),
+        encoding="utf-8",
+    )
+    df, schema = SRC.load_data(spark, str(p))
+    assert df.count() == 1
+    assert schema["fields"][0]["name"] == "text"
+
+
+def test_load_json_list(spark, tmp_path):
+    p = tmp_path / "data.json"
+    p.write_text(json.dumps([{"id": "1"}, {"id": "2"}]), encoding="utf-8")
+    df, schema = SRC.load_data(spark, str(p))
+    assert df.count() == 2 and schema == {}
+
+
+def test_check_directory(spark, tmp_path):
+    (tmp_path / "good.jsonl").write_text(
+        '{"id": "1", "text": "fine content"}\n', encoding="utf-8"
+    )
+    (tmp_path / "bad.jsonl").write_text(
+        '{"id": "2", "text": ""}\n', encoding="utf-8"
+    )
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "more.jsonl").write_text(
+        '{"id": "3", "text": "also fine"}\n', encoding="utf-8"
+    )
+    out = SRC.check_directory(spark, str(tmp_path))
+    assert out["total_files"] == 3
+    assert out["total_samples"] == 3
+    assert out["total_failed_samples"] == 1  # blank text -> non_empty ERROR
+    assert out["passed_files"] == 2
+    assert out["overall_pass_rate"] == pytest.approx(2 / 3, abs=1e-4)
+
+
+def test_sample_df_seeded(spark):
+    df = spark.range(100).select(F.col("id").cast("string").alias("id"))
+    s1, flag1 = SRC.sample_df(df, sample_count=10)
+    s2, _ = SRC.sample_df(df, sample_count=10)
+    assert flag1 is True
+    assert sorted(r["id"] for r in s1.collect()) == sorted(
+        r["id"] for r in s2.collect()
+    )
+    s3, flag3 = SRC.sample_df(df, sample_rate=0.2)
+    assert flag3 is True and 0 < s3.count() < 100
+
+
+CONFIG = {
+    "name": "orders-check",
+    "rules": [
+        {"field": "status", "check": "required", "severity": "error"},
+        {"field": "status", "check": "enum", "values": ["new", "done"],
+         "severity": "error", "message": "status must be valid"},
+        {"field": "note", "check": "min_length", "value": 3, "severity": "warning"},
+        {"field": "note", "check": "regex", "pattern": "^[a-z ]+$",
+         "severity": "info"},
+        {"field": "amount", "check": "number_range", "min": 0, "max": 100,
+         "severity": "error"},
+        {"field": "reason", "check": "conditional_required",
+         "condition": {"field": "amount", "operator": ">", "value": 50},
+         "severity": "error"},
+    ],
+}
+
+
+def test_yaml_config_compiler(spark):
+    rs = ruleset_from_config(CONFIG)
+    assert rs.name == "orders-check"
+    assert "config_status_enum_1" in rs.rules
+    assert rs.rules["config_status_enum_1"].name == "status must be valid"
+    assert rs.rules["config_status_enum_1"].severity == Severity.ERROR
+
+    df = spark.createDataFrame(
+        [
+            Row(id="ok", status="new", note="abc def", amount=10.0, reason=None),
+            Row(id="bad_enum", status="weird", note="abc", amount=10.0, reason=None),
+            Row(id="short_note", status="done", note="ab", amount=10.0, reason=None),
+            Row(id="regex_fail", status="done", note="ABC", amount=10.0, reason=None),
+            Row(id="range_fail", status="done", note="abc", amount=500.0, reason="big"),
+            Row(id="cond_fail", status="done", note="abc", amount=60.0, reason=None),
+            Row(id="cond_ok", status="done", note="abc", amount=60.0, reason="fine"),
+        ]
+    )
+    engine = ValidationEngine(ruleset=rs, schema=ValidationSchema())
+    res = engine.check(
+        df, find_duplicates=False, find_near_duplicates=False,
+        detect_anomalies=False, compute_distribution=False,
+    )
+    rr = res.rule_results
+    assert rr["config_status_enum_1"]["failed_samples"] == ["bad_enum"]
+    assert rr["config_note_min_length_2"]["failed_samples"] == ["short_note"]
+    assert rr["config_note_regex_3"]["failed_samples"] == ["regex_fail"]
+    assert rr["config_amount_number_range_4"]["failed_samples"] == ["range_fail"]
+    assert rr["config_reason_conditional_required_5"]["failed_samples"] == ["cond_fail"]
+    # errors fail samples; warning/info don't
+    assert sorted(res.failed_sample_ids) == sorted(
+        ["bad_enum", "range_fail", "cond_fail"]
+    )
+
+
+def test_config_unknown_check_raises():
+    # reference raises at config-load time (rules.py:338-339)
+    with pytest.raises(ValueError, match="unknown check type"):
+        ruleset_from_config({"rules": [{"field": "x", "check": "bogus"}]})
+
+
+def test_preset_rulesets(spark):
+    from datacheck_spark.rules.compiler import (
+        get_sft_ruleset,
+        get_preference_ruleset,
+        get_annotation_ruleset,
+    )
+
+    sft = get_sft_ruleset()
+    df = spark.createDataFrame(
+        [Row(id="1", instruction="short", response="ok")]
+    )
+    engine = ValidationEngine(ruleset=sft, schema=ValidationSchema())
+    res = engine.check(df, find_duplicates=False, find_near_duplicates=False,
+                       detect_anomalies=False, compute_distribution=False)
+    assert res.rule_results["instruction_quality"]["failed"] == 1
+    assert res.rule_results["response_quality"]["failed"] == 1
+
+    pref = get_preference_ruleset()
+    df2 = spark.createDataFrame(
+        [Row(id="1", prompt="p", chosen="same", rejected="same"),
+         Row(id="2", prompt="p", chosen="a", rejected="b")]
+    )
+    engine2 = ValidationEngine(ruleset=pref, schema=ValidationSchema())
+    res2 = engine2.check(df2, find_duplicates=False, find_near_duplicates=False,
+                         detect_anomalies=False, compute_distribution=False)
+    assert res2.rule_results["chosen_rejected_different"]["failed_samples"] == ["1"]
+
+    ann = get_annotation_ruleset()
+    df3 = spark.createDataFrame(
+        [Row(id="1", task_id="T1", score=1, annotated_at="2026-01-01"),
+         Row(id="2", task_id=None, score=1, annotated_at=None)]
+    )
+    engine3 = ValidationEngine(ruleset=ann, schema=ValidationSchema())
+    res3 = engine3.check(df3, find_duplicates=False, find_near_duplicates=False,
+                         detect_anomalies=False, compute_distribution=False)
+    assert res3.rule_results["annotation_task_id"]["failed_samples"] == ["2"]
+    assert "non_empty" not in res3.rule_results  # disabled in preset

@@ -1,0 +1,148 @@
+"""Distribution stats, schema inference, coverage, dedup variants."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datacheck_spark import stats as S
+from datacheck_spark import dedup as D
+
+
+@pytest.fixture(scope="module")
+def mixed_df(spark):
+    rows = [
+        Row(id=str(i), name=f"name_{i % 3}", score=float(i % 5),
+            flag=(i % 2 == 0), note=None if i % 4 == 0 else f"note {i}")
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_compute_distribution(mixed_df):
+    dist = S.compute_distribution(mixed_df)
+    assert dist["total"] == 20
+    name = dist["fields"]["name"]
+    assert name["type"] == "string"
+    assert name["unique_count"] == 3
+    assert name["length_stats"]["min"] == 6
+    score = dist["fields"]["score"]
+    assert score["type"] == "number"
+    assert score["value_stats"]["min"] == 0.0
+    assert score["value_stats"]["max"] == 4.0
+    assert sum(score["value_distribution"].values()) == 20
+    note = dist["fields"]["note"]
+    assert note["null_count"] == 5
+
+
+def test_topk_deterministic(mixed_df):
+    tops = S._top_values(mixed_df, ["score"], k=3)
+    # 0..4 appear 4 times each; tie-break by ascending value
+    assert list(tops["score"].keys()) == [0.0, 1.0, 2.0]
+
+
+def test_infer_schema(mixed_df):
+    schema = S.infer_schema(mixed_df)
+    assert schema["sample_count"] == 20
+    f = schema["fields"]
+    assert f["name"]["type"] == "string"
+    assert f["name"]["required"] is True
+    assert f["score"]["type"] == "number"
+    assert f["score"]["enum"] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert f["flag"]["type"] == "boolean"
+    assert f["note"]["nullable"] is True
+    assert "required" not in f["note"]  # 75% presence < 95%
+
+
+def test_coverage(mixed_df):
+    cov = S.check_coverage(mixed_df, approx_distinct=False)
+    assert cov["total_samples"] == 20
+    assert cov["fields"]["note"]["presence_rate"] == pytest.approx(0.75)
+    assert cov["fields"]["name"]["distinct_values"] == 3
+
+
+def test_compare_distributions(spark, mixed_df):
+    other = spark.createDataFrame(
+        [Row(id=str(i), name="x" * 12, score=50.0) for i in range(10)]
+    )
+    cmp = S.compare_distributions(mixed_df, other)
+    assert cmp["sample_count"] == 20
+    assert cmp["reference_count"] == 10
+    nc = cmp["field_comparisons"]["name"]
+    assert nc["in_samples"] and nc["in_reference"]
+    assert nc["length_comparison"]["diff_percent"] > 0
+
+
+def test_duplicate_key_rows(spark):
+    df = spark.createDataFrame(
+        [Row(a="k1", b=1), Row(a="k1", b=1), Row(a="k2", b=2)]
+    )
+    dups = D.duplicate_key_rows(df, ["a", "b"]).collect()
+    assert len(dups) == 1
+    assert dups[0]["a"] == "k1" and dups[0]["dup_count"] == 2
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [Row(k="hot", v=i) for i in range(100)]
+        + [Row(k="cold", v=i) for i in range(5)]
+    )
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["k"]: r["n"]
+        for r in D.salted_agg(
+            df,
+            ["k"],
+            salt_buckets=4,
+            partial_aggs=[F.count(F.lit(1)).alias("pn")],
+            final_aggs=[F.sum("pn").alias("n")],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    rows = [
+        Row(id="1", text="The quick brown fox jumps over the lazy dog again and again"),
+        Row(id="2", text="The quick brown fox jumps over the lazy cat again and again"),
+        Row(id="3", text="Completely different content about spark aggregation plans"),
+        Row(id="4", text="Another unrelated sentence mentioning data quality checks"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = D.near_duplicate_pairs_lsh(
+        df, ["text"], "id", threshold=0.7
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [("1", "2")]
+
+
+def test_simhash_near_dups(spark):
+    rows = [
+        Row(id="1", text="The quick brown fox jumps over the lazy dog again and again"),
+        Row(id="2", text="The quick brown fox jumps over the lazy cat again and again"),
+        Row(id="3", text="Completely different content about spark aggregation plans"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = D.simhash_near_duplicates(df, "text", "id", max_hamming=10).collect()
+    assert ("1", "2") in [(p["id_a"], p["id_b"]) for p in pairs]
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        Row(id="1", v=[1.0, 0.0, 0.0, 0.0]),
+        Row(id="2", v=[0.999, 0.01, 0.0, 0.0]),
+        Row(id="3", v=[0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = D.embedding_near_duplicates(
+        df, "v", "id", threshold=0.95, lsh_planes=0
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [("1", "2")]
+
+
+def test_dedup_exact_without_order(spark):
+    df = spark.createDataFrame(
+        [Row(id="1", t="a"), Row(id="2", t="a"), Row(id="3", t="b")]
+    )
+    out = D.dedup_exact(df, ["t"])
+    assert out.count() == 2

@@ -1,0 +1,123 @@
+"""Transcript generator + flagship pipeline tests, including exact
+planted-violation verdict checks and checkpoint/resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacheck_spark.transcripts import (
+    TranscriptChecker,
+    generate_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = generate_transcripts(spark, n_convs=300, turns_per_conv=10).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_generator_deterministic(spark, transcripts):
+    df2 = generate_transcripts(spark, n_convs=300, turns_per_conv=10)
+    a = transcripts.orderBy("conv_id", "turn_idx", "role").collect()
+    b = df2.orderBy("conv_id", "turn_idx", "role").collect()
+    assert a == b
+
+
+def test_generator_schema(transcripts):
+    assert [f.name for f in transcripts.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "conv_bucket",
+    ]
+
+
+def test_hot_conversations(transcripts):
+    counts = (
+        transcripts.groupBy("conv_id").count().orderBy(F.desc("count")).limit(3).collect()
+    )
+    # the two hot conversations dominate
+    assert counts[0]["count"] >= 900
+    assert counts[1]["count"] >= 900
+    assert counts[2]["count"] < 100
+
+
+def test_planted_violations_detected(spark, transcripts):
+    checker = TranscriptChecker()
+    report = checker.run(transcripts)
+    rr = report.rule_results
+    assert rr["text_non_empty"]["failed"] > 0
+    assert rr["pii_detection"]["failed"] > 0
+    assert rr["garbled_text"]["failed"] > 0
+    assert rr["repetitive_text"]["failed"] > 0
+    assert rr["role_valid"]["failed"] > 0
+    assert report.duplicate_keys > 0
+    assert report.orphan_tools > 0
+    assert 0.9 < report.pass_rate < 1.0
+
+
+def test_violation_rows_ordered_and_exact(spark, transcripts):
+    checker = TranscriptChecker(include_repetitive=False)
+    v = checker.violations(transcripts).collect()
+    keys = [(r["conv_id"], r["turn_idx"], r["rule_id"]) for r in v]
+    assert keys == sorted(keys)
+    # every null/blank text row appears as a text_non_empty violation
+    expected_blank = {
+        (r["conv_id"], r["turn_idx"])
+        for r in transcripts.where(
+            F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+        ).select("conv_id", "turn_idx").collect()
+    }
+    got_blank = {
+        (r["conv_id"], r["turn_idx"])
+        for r in v
+        if r["rule_id"] == "text_non_empty"
+    }
+    assert got_blank == expected_blank
+
+
+def test_verdicts_match_rule_columns(spark, transcripts):
+    """Cross-check: summarize counts == violations row counts per rule."""
+    checker = TranscriptChecker(include_repetitive=False)
+    report = checker.run(
+        transcripts, detect_anomalies=False
+    )
+    v = checker.violations(transcripts)
+    per_rule = {
+        r["rule_id"]: r["n"]
+        for r in v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for rid, rr in report.rule_results.items():
+        assert per_rule.get(rid, 0) == rr["failed"], rid
+
+
+def test_checkpoint_resume(spark, transcripts, tmp_path):
+    from datacheck_spark.checkpoint import (
+        checkpointed_violations,
+        load_state,
+    )
+
+    checker = TranscriptChecker(include_repetitive=False)
+    base = str(tmp_path / "ckpt")
+    state = checkpointed_violations(
+        transcripts, checker, base, rule_version="v1", n_buckets=8,
+        group_size=3,
+    )
+    assert len(state.completed) == 8
+    total_1 = spark.read.parquet(base + "/violations").count()
+
+    # resume: nothing left to do; manifest unchanged; output identical
+    state2 = checkpointed_violations(
+        transcripts, checker, base, rule_version="v1", n_buckets=8,
+        group_size=3,
+    )
+    assert state2.completed == state.completed
+    total_2 = spark.read.parquet(base + "/violations").count()
+    assert total_1 == total_2
+
+    # direct violations (no checkpointing) must agree in count
+    direct = checker.violations(transcripts).count()
+    assert total_1 == direct
+
+    # rule-version bump invalidates lineage
+    state3 = load_state(base, "v2", "static")
+    assert state3.completed == []
