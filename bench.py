@@ -25,7 +25,7 @@ sys.path.insert(0, str(ROOT))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "80000"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "640000"))
 CACHE_DIR = ROOT / ".bench_cache"
 
 
@@ -103,7 +103,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     tpath = ensure_transcripts(spark, BENCH_CONVS)
-    # warm the JVM/scan once, then measure
+    # warm the JVM / code cache / page cache once, then measure
+    run_transcript_suite(spark, tpath)
     suite = run_transcript_suite(spark, tpath)
 
     queries = contract.queries()

@@ -920,6 +920,60 @@ def media_features(spark, sf_dir):
     return extract_media_features(media).orderBy("media_id")
 
 
+@_q(
+    "sessionize_events",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           count(*)::BIGINT AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup (beyond-reference
+    window op; 30-min gap on events)."""
+    from datacheck_spark.sessions import session_stats
+
+    df = _t(spark, sf_dir, "events")
+    return (
+        session_stats(df, "user_id", "ts", gap_minutes=30)
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@_q("conversation_stats", None)
+def conversation_stats_q(spark, sf_dir):
+    """Per-conversation rollup with salted two-phase aggregation for
+    hot conversations (north_rule skew handling). Rows-only (engine
+    transcripts)."""
+    from datacheck_spark.sessions import conversation_stats
+    from datacheck_spark.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, n_convs=200, turns_per_conv=10)
+    return conversation_stats(df, salt_buckets=8).orderBy("conv_id")
+
+
 @_q("transcript_violations", None)
 def transcript_violations(spark, sf_dir):
     """Flagship: fused transcript rule suite violation rows
