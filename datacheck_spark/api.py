@@ -1,0 +1,172 @@
+"""Tool-call API surface: the reference's 11 MCP tools as one dispatcher.
+
+Reference: ``mcp_server.py:30-277`` registers 11 tools; ``call_tool``
+(``mcp_server.py:279-832``) dispatches to the engine. Here the same
+surface is a transport-agnostic function — the MCP SDK / FastAPI are
+thin wrappers a deployment can add (neither ships in this sandbox);
+``server.py`` provides a stdlib HTTP wrapper.
+
+Tools (reference README.md:372-384): check_data_quality, infer_schema,
+fix_data, compare_datasets, check_drift, check_leakage, check_bias,
+check_coverage, calculate_contribution, generate_report, diff_reports.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _df_from_samples(spark: SparkSession, samples: List[Dict[str, Any]]) -> DataFrame:
+    if not samples:
+        return spark.createDataFrame([], "id string")
+    return spark.createDataFrame(samples)
+
+
+def call_tool(
+    spark: SparkSession, name: str, arguments: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Dispatch one tool call; returns a JSON-serializable dict (the
+    reference returns Markdown TextContent — we return the structured
+    data and let transports render)."""
+    from datacheck_spark.engine import ValidationEngine
+    from datacheck_spark.schema import ValidationSchema
+    from datacheck_spark.rules.compiler import (
+        RuleSet,
+        get_annotation_ruleset,
+        get_preference_ruleset,
+        get_sft_ruleset,
+    )
+
+    args = arguments or {}
+
+    def engine_for(ruleset_name: Optional[str], schema_dict) -> ValidationEngine:
+        rs = {
+            "sft": get_sft_ruleset,
+            "preference": get_preference_ruleset,
+            "annotation": get_annotation_ruleset,
+        }.get(ruleset_name or "default", RuleSet)()
+        return ValidationEngine(
+            ruleset=rs, schema=ValidationSchema.from_dict(schema_dict or {})
+        )
+
+    if name == "check_data_quality":
+        df = _df_from_samples(spark, args.get("samples", []))
+        engine = engine_for(args.get("ruleset"), args.get("schema"))
+        return engine.check(df).to_dict()
+
+    if name == "infer_schema":
+        from datacheck_spark.stats import infer_schema
+
+        df = _df_from_samples(spark, args.get("samples", []))
+        return infer_schema(df)
+
+    if name == "fix_data":
+        from datacheck_spark.fixer import DataFixer
+
+        df = _df_from_samples(spark, args.get("samples", []))
+        fixed, res = DataFixer().fix(
+            df,
+            dedup=args.get("dedup", True),
+            trim=args.get("trim", True),
+            remove_empty=args.get("remove_empty", True),
+            strip_pii=args.get("strip_pii", False),
+        )
+        return {
+            "result": res.__dict__,
+            "fixed_samples": [r.asDict() for r in fixed.collect()],
+        }
+
+    if name == "compare_datasets":
+        from datacheck_spark.stats import compare_distributions
+
+        a = _df_from_samples(spark, args.get("samples_a", []))
+        b = _df_from_samples(spark, args.get("samples_b", []))
+        return compare_distributions(a, b)
+
+    if name == "check_drift":
+        from datacheck_spark.drift import drift_report
+
+        a = _df_from_samples(spark, args.get("baseline", []))
+        b = _df_from_samples(spark, args.get("current", []))
+        return drift_report(a, b)
+
+    if name == "check_leakage":
+        from datacheck_spark.leakage import check_leakage
+
+        train = _df_from_samples(spark, args.get("train", []))
+        test = _df_from_samples(spark, args.get("test", []))
+        return check_leakage(
+            train,
+            test,
+            key_cols=args.get("key_fields"),
+            text_col=args.get("text_field"),
+            train_id=args.get("id_field"),
+            test_id=args.get("id_field"),
+            near_threshold=args.get("threshold", 0.9),
+        )
+
+    if name == "check_bias":
+        from datacheck_spark.bias import check_bias
+
+        df = _df_from_samples(spark, args.get("samples", []))
+        return check_bias(
+            df,
+            label_col=args.get("label_field"),
+            text_col=args.get("text_field"),
+        )
+
+    if name == "check_coverage":
+        from datacheck_spark.stats import check_coverage
+
+        df = _df_from_samples(spark, args.get("samples", []))
+        return check_coverage(df)
+
+    if name == "calculate_contribution":
+        from datacheck_spark.contribute import (
+            calculate_contributions,
+            contribution_summary,
+        )
+        from datacheck_spark.schema import ValidationSchema
+
+        df = _df_from_samples(spark, args.get("responses", []))
+        contribs = calculate_contributions(
+            df,
+            schema=ValidationSchema.from_dict(args.get("schema") or {}),
+            dataset_created_at=args.get("dataset_created_at"),
+        )
+        out = contribution_summary(contribs)
+        out["contributions"] = [
+            {k: r[k] for k in ("contrib_type", "weight")}
+            for r in contribs.where("passed").collect()
+        ]
+        return out
+
+    if name == "generate_report":
+        from datacheck_spark.engine import CheckResult
+        from datacheck_spark.report import to_markdown, to_json_report
+
+        df = _df_from_samples(spark, args.get("samples", []))
+        engine = engine_for(args.get("ruleset"), args.get("schema"))
+        result = engine.check(df)
+        fmt = args.get("format", "markdown")
+        if fmt == "json":
+            return to_json_report(result)
+        return {"markdown": to_markdown(result)}
+
+    if name == "diff_reports":
+        from datacheck_spark.report import diff_reports
+
+        return {
+            "diff": diff_reports(args.get("report_a", {}), args.get("report_b", {}))
+        }
+
+    raise ValueError(f"unknown tool: {name}")
+
+
+TOOLS = [
+    "check_data_quality", "infer_schema", "fix_data", "compare_datasets",
+    "check_drift", "check_leakage", "check_bias", "check_coverage",
+    "calculate_contribution", "generate_report", "diff_reports",
+]

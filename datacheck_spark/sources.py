@@ -77,8 +77,13 @@ def load_glob(
     csv_files = [str(f) for f in files if f.suffix.lower() == ".csv"]
     parts: List[DataFrame] = []
     if json_files:
+        # PERMISSIVE keeps malformed lines in _corrupt_record so the
+        # batch check can account skipped/corrupt input per file
+        # (reference skips unreadable files, checker.py:351-352)
         parts.append(
             spark.read.option("multiLine", "false")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
             .json(json_files)
             .withColumn("source_file", F.input_file_name())
         )
@@ -125,6 +130,21 @@ def check_directory(
             "file_results": {},
             "skipped_files": skipped,
         }
+
+    if "_corrupt_record" in df.columns:
+        # Spark disallows querying only the corrupt-record column from a
+        # raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first
+        # as the docs prescribe
+        df = df.cache()
+        corrupt_per_file = {
+            r["source_file"].split("/")[-1]: r["n"]
+            for r in df.where(F.col("_corrupt_record").isNotNull())
+            .groupBy("source_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        skipped = [f"{name}: {n} corrupt records" for name, n in sorted(corrupt_per_file.items())]
+        df = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
 
     annotated = engine.annotate(df)
 

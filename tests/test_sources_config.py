@@ -76,6 +76,18 @@ def test_check_directory(spark, tmp_path):
     assert out["overall_pass_rate"] == pytest.approx(2 / 3, abs=1e-4)
 
 
+def test_check_directory_corrupt_accounting(spark, tmp_path):
+    (tmp_path / "good.jsonl").write_text(
+        '{"id": "1", "text": "fine content"}\n', encoding="utf-8"
+    )
+    (tmp_path / "broken.jsonl").write_text(
+        '{"id": "2", "text": "ok row"}\n{not json at all\n', encoding="utf-8"
+    )
+    out = SRC.check_directory(spark, str(tmp_path))
+    assert out["total_samples"] == 2  # corrupt line excluded
+    assert any("broken.jsonl" in s for s in out["skipped_files"])
+
+
 def test_sample_df_seeded(spark):
     df = spark.range(100).select(F.col("id").cast("string").alias("id"))
     s1, flag1 = SRC.sample_df(df, sample_count=10)
