@@ -245,7 +245,9 @@ def detected_language(col: Column) -> Column:
         & (total > 0)
     )
     lang = F.when(known, best["lang"]).otherwise(F.lit("unknown"))
-    conf = F.when(known, F.round(best["n"] / total, 2)).otherwise(F.lit(0.0))
+    # bround = HALF_EVEN, matching Python's round() (the reference
+    # rounds confidence with round(x, 2), text_rules.py:74)
+    conf = F.when(known, F.bround(best["n"] / total, 2)).otherwise(F.lit(0.0))
     return F.struct(lang.alias("lang"), conf.alias("confidence"))
 
 
