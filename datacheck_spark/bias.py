@@ -64,6 +64,52 @@ def language_share(col) -> Dict[str, object]:
     )
 
 
+def group_language_consistency(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group language mix: majority language (count-desc, name-asc
+    tie-break), total rows, majority count, and minority share — the
+    grouped analogue of the per-sample ``language_consistency`` rule
+    (e.g. per conversation or per source). One shuffle on
+    (group, lang) with map-side combine, then a tiny per-group window.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            language_share(F.col(text_col)).alias("lang"),
+        )
+        .groupBy("grp", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("lang"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .groupBy("grp")
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("lang"))).alias(
+                "majority_lang"
+            ),
+            F.sum("n").alias("total"),
+            F.max(F.when(F.col("rank") == 1, F.col("n"))).alias(
+                "majority_count"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "majority_lang",
+            "total",
+            "majority_count",
+            F.round(
+                (F.col("total") - F.col("majority_count"))
+                / F.col("total"),
+                6,
+            ).alias("minority_share"),
+        )
+    )
+
+
 def check_bias(
     df: DataFrame,
     label_col: Optional[str] = None,

@@ -11,8 +11,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import Optional
+
+# allow running as a plain script (spark-submit cli.py ...): the package
+# root is this file's parent's parent
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _spark(app: str, master: Optional[str] = None):

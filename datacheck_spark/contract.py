@@ -719,16 +719,35 @@ def fingerprint_docs(spark, sf_dir):
 
 @_q(
     "ngram_jaccard_docs",
-    None,  # n-gram set algebra is not reasonably SQL-expressible: rows-only check
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, length(lower(trim(text))) - 2),
+               i -> substr(lower(trim(text)), i, 3))) AS grams
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id::VARCHAR AS id_a, b.doc_id::VARCHAR AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS sim
+    FROM g a, g b
+    WHERE a.doc_id::VARCHAR < b.doc_id::VARCHAR
+      AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
 )
 def ngram_jaccard_docs(spark, sf_dir):
     """Char-3-gram Jaccard near-dup pairs over a deterministic 200-doc
-    subset (op 26 exact path; O(n²) under the reference's size cap)."""
+    subset (op 26 exact path; O(n²) under the reference's size cap).
+    Oracle: DuckDB list comprehension n-grams + intersect/union sizes.
+    """
     from datacheck_spark.dedup import near_duplicate_pairs_exact
 
     df = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return near_duplicate_pairs_exact(
-        df, ["text"], "doc_id", threshold=0.5
+    pairs = near_duplicate_pairs_exact(df, ["text"], "doc_id", threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
     ).orderBy("id_a", "id_b")
 
 
@@ -972,6 +991,42 @@ def conversation_stats_q(spark, sf_dir):
 
     df = generate_transcripts(spark, n_convs=200, turns_per_conv=10)
     return conversation_stats(df, salt_buckets=8).orderBy("conv_id")
+
+
+@_q(
+    "lang_consistency_by_source",
+    """
+    WITH langs AS (
+      SELECT source,
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 'unknown'
+                  WHEN (length(substr(text,1,500)) - length(regexp_replace(substr(text,1,500), '[一-鿿]', '', 'g')))::DOUBLE
+                       / length(substr(text,1,500)) > 0.3 THEN 'zh'
+                  WHEN (length(substr(text,1,500)) - length(regexp_replace(substr(text,1,500), '[a-zA-Z]', '', 'g')))::DOUBLE
+                       / length(substr(text,1,500)) > 0.3 THEN 'en'
+                  ELSE 'other' END AS lang
+      FROM documents
+    ), counts AS (
+      SELECT source, lang, count(*)::BIGINT AS n FROM langs GROUP BY source, lang
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rank
+      FROM counts
+    )
+    SELECT source,
+           max(CASE WHEN rank = 1 THEN lang END) AS majority_lang,
+           sum(n)::BIGINT AS total,
+           max(CASE WHEN rank = 1 THEN n END)::BIGINT AS majority_count,
+           round((sum(n) - max(CASE WHEN rank = 1 THEN n END))::DOUBLE / sum(n), 6) AS minority_share
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def lang_consistency_by_source(spark, sf_dir):
+    """Grouped language-consistency analysis (per-source majority
+    language + minority share) — the grouped analogue of the
+    language_consistency rule for conversations/sources."""
+    from datacheck_spark.bias import group_language_consistency
+
+    df = _t(spark, sf_dir, "documents")
+    return group_language_consistency(df, "source", "text").orderBy("source")
 
 
 @_q("transcript_violations", None)
