@@ -60,8 +60,11 @@ def pii_clean(col: Column) -> Column:
     intl_hit = F.when(
         col.contains("+"), col.rlike(PII_PATTERNS["phone_intl"])
     ).otherwise(F.lit(False))
+    # digit precheck via translate (char-map, no regex engine): both CN
+    # patterns need >= 10 digits somewhere in the string
+    digit_count = F.length(col) - F.length(F.translate(col, "0123456789", ""))
     digit_hit = F.when(
-        col.rlike(r"\d{10}"),
+        digit_count >= 10,
         col.rlike(PII_PATTERNS["phone_cn"]) | col.rlike(PII_PATTERNS["id_cn"]),
     ).otherwise(F.lit(False))
     return col.isNull() | ~(email_hit | intl_hit | digit_hit)
@@ -73,10 +76,24 @@ GARBLED_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\ufffd\\ufffe\\uffff]"
 ENCODING_ERROR = "[\\u00c0-\\u00ff]{3,}"
 
 
+#: every character the garbled class matches, enumerated for translate()
+_GARBLED_CHARS = (
+    "".join(chr(c) for c in range(0x00, 0x09))
+    + "\x0b\x0c"
+    + "".join(chr(c) for c in range(0x0E, 0x20))
+    + "�￾￿"
+)
+
+
 def garbled_clean(col: Column) -> Column:
-    """True iff not garbled. Strings < 5 chars skip (pass)."""
+    """True iff not garbled. Strings < 5 chars skip (pass).
+
+    The control-char tally uses ``translate`` (a character map — no
+    regex engine) which is exactly equivalent to counting matches of
+    the single-char class; only the mojibake run check needs ``rlike``.
+    """
     n = F.length(col)
-    garbled_count = F.regexp_count(col, F.lit(GARBLED_CLASS))
+    garbled_count = n - F.length(F.translate(col, _GARBLED_CHARS, ""))
     bad = ((garbled_count > 0) & (garbled_count / n > 0.01)) | col.rlike(
         ENCODING_ERROR
     )
@@ -157,17 +174,22 @@ def repetitive_flag_native(col: Column) -> Column:
     variant remains available for byte-exact parity testing.
     """
     ln = F.length(col)
+    # cheap necessary condition: >= 3 segments requires >= 2 separator
+    # chars; translate is a char-map scan, so rows without sentence
+    # punctuation never pay for split/sort/aggregate
+    sep_count = ln - F.length(F.translate(col, "。！？\n.!?", ""))
     segments = F.filter(
         F.transform(F.split(col, "[。！？\\n.!?]+"), _py_strip),
         lambda s: F.length(s) > 5,
     )
     n_seg = F.size(segments)
     seg_top = _max_multiplicity(segments)
-    sentence_bad = (
+    sentence_bad = F.when(
+        sep_count >= 2,
         (n_seg >= 3)
         & (seg_top >= 3)
-        & (seg_top.cast("double") / n_seg > 0.3)
-    )
+        & (seg_top.cast("double") / n_seg > 0.3),
+    ).otherwise(F.lit(False))
 
     # windows: value[i:i+10] for i in range(0, len-10, 10); the whole
     # branch lives under when(ln > 100) so sequence() never sees a
