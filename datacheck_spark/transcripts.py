@@ -327,8 +327,14 @@ class TranscriptChecker:
 
         rules = self.engine.compile(df)
         annotated = self.engine.annotate(df, rules=rules)
+        # after the fused pass only the text LENGTH is consumed (anomaly)
+        # — dropping the text payload shrinks the persisted frame ~4×
+        slim = annotated.withColumn(
+            "__text_len", F.length("text").cast("double")
+        ).drop("text")
         if persist:
-            annotated = annotated.persist()
+            slim = slim.persist()
+        annotated = slim
         try:
             base = self.engine.summarize(
                 annotated, rules, id_col=None, collect_failed_ids=False
@@ -366,9 +372,18 @@ class TranscriptChecker:
             )
 
             if detect_anomalies:
-                report.anomalies = A.detect_anomalies(
-                    annotated, cols=["text", "turn_idx"], key_cols=["conv_id", "turn_idx"]
+                raw = A.detect_anomalies(
+                    annotated,
+                    cols=["__text_len", "turn_idx"],
+                    key_cols=["conv_id", "turn_idx"],
                 )
+                # present the precomputed length under the reference's
+                # field key / field_type (anomaly.py:130-132)
+                if "__text_len" in raw:
+                    entry = raw.pop("__text_len")
+                    entry["field_type"] = "length"
+                    raw["text (长度)"] = entry
+                report.anomalies = raw
                 report.anomaly_count = sum(
                     a["outlier_count"] for a in report.anomalies.values()
                 )
