@@ -175,6 +175,59 @@ def cmd_transcripts(args) -> int:
     return 0 if report.pass_rate >= args.threshold else 1
 
 
+def cmd_rules(args) -> int:
+    """List the rules of a ruleset (reference ``cli.py`` rules cmd)."""
+    from datacheck_spark.rules.compiler import (
+        RuleSet,
+        get_annotation_ruleset,
+        get_preference_ruleset,
+        get_sft_ruleset,
+        ruleset_from_yaml,
+    )
+
+    if args.rules_file:
+        rs = ruleset_from_yaml(args.rules_file)
+    else:
+        rs = {
+            "sft": get_sft_ruleset,
+            "preference": get_preference_ruleset,
+            "annotation": get_annotation_ruleset,
+        }.get(args.ruleset, RuleSet)()
+    for rd in rs.rules.values():
+        state = "on " if rd.enabled else "off"
+        print(f"[{state}] {rd.severity.value:8} {rd.rule_id}: {rd.name}")
+    return 0
+
+
+def cmd_diff(args) -> int:
+    """Diff two saved JSON reports (reference ``report.py:545-633``)."""
+    from datacheck_spark.report import diff_reports
+
+    with open(args.report_a, "r", encoding="utf-8") as f:
+        a = json.load(f)
+    with open(args.report_b, "r", encoding="utf-8") as f:
+        b = json.load(f)
+    print(diff_reports(a, b))
+    return 0
+
+
+def cmd_compare(args) -> int:
+    """Check a file against a reference file's distribution
+    (reference ``cli.py`` compare cmd → op 28)."""
+    from datacheck_spark import sources as SRC
+    from datacheck_spark.engine import ValidationEngine
+
+    spark = _spark("datacheck-compare", args.master)
+    df, _ = SRC.load_data(spark, args.data)
+    ref, _ = SRC.load_data(spark, args.reference)
+    engine = ValidationEngine()
+    result = engine.check(df, reference_df=ref)
+    print(json.dumps(result.to_dict(), ensure_ascii=False, indent=2))
+    comparison = result.distribution.get("reference_comparison", {})
+    print(json.dumps(comparison, ensure_ascii=False, indent=2, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="datacheck-spark")
     ap.add_argument("--master", default=None)
@@ -211,6 +264,21 @@ def main(argv=None) -> int:
     d.add_argument("data_a")
     d.add_argument("data_b")
     d.set_defaults(fn=cmd_drift)
+
+    r = sub.add_parser("rules")
+    r.add_argument("--ruleset", default="default")
+    r.add_argument("--rules-file")
+    r.set_defaults(fn=cmd_rules)
+
+    dd = sub.add_parser("diff")
+    dd.add_argument("report_a")
+    dd.add_argument("report_b")
+    dd.set_defaults(fn=cmd_diff)
+
+    cp = sub.add_parser("compare")
+    cp.add_argument("data")
+    cp.add_argument("reference")
+    cp.set_defaults(fn=cmd_compare)
 
     t = sub.add_parser("transcripts")
     t.add_argument("data")
