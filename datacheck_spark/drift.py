@@ -162,12 +162,6 @@ def ks_statistic(
             "v", [i / approx_bins for i in range(1, approx_bins)], 1e-4
         )
         edges = sorted(set(edges))
-        if edges:
-            bucketize = F.expr(
-                "array_position(array({}), v)".format(
-                    ",".join(str(e) for e in edges)
-                )
-            )  # placeholder; simple width via when-chain below
         # quantile-bin via when-chain (bounded, codegen-friendly)
         expr = F.lit(len(edges))
         for i in range(len(edges) - 1, -1, -1):

@@ -319,8 +319,14 @@ class TranscriptChecker:
         df: DataFrame,
         tools_df: Optional[DataFrame] = None,
         detect_anomalies: bool = True,
+        anomaly_keys: bool = False,
         persist: bool = True,
     ) -> TranscriptCheckReport:
+        """``anomaly_keys=True`` additionally collects a bounded sample
+        of offending (conv_id, turn_idx) keys per anomalous field — two
+        extra filter+sort jobs; off by default (counts and bounds are
+        enough for the report; full rows live in the violations
+        table)."""
         from datacheck_spark import anomaly as A
         from datacheck_spark import dedup as D
         from datacheck_spark import referential as R
@@ -375,7 +381,7 @@ class TranscriptChecker:
                 raw = A.detect_anomalies(
                     annotated,
                     cols=["__text_len", "turn_idx"],
-                    key_cols=["conv_id", "turn_idx"],
+                    key_cols=["conv_id", "turn_idx"] if anomaly_keys else None,
                 )
                 # present the precomputed length under the reference's
                 # field key / field_type (anomaly.py:130-132)
