@@ -65,6 +65,77 @@ def windowed_pass_rates(
     )
 
 
+def stateful_turn_order_check(
+    annotated: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    timeout_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-conversation monotonic turn_idx enforcement across microbatches.
+
+    State per conv_id = (max turn_idx seen, turns seen). Each batch
+    emits one row per conversation that regressed (a turn_idx ≤ the
+    running maximum arriving in a later batch) — a check that is
+    impossible with stateless per-batch rules. State times out after
+    ``timeout_minutes`` of event-time inactivity (bounded state for
+    10^12-turn streams; conversation keys expire once quiet).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, regressed_turns int, max_turn int, turns_seen long"
+    )
+    state_schema = "max_turn int, turns_seen long"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return iter([])
+        max_turn, seen = state.get if state.exists else (-1, 0)
+        regressed = 0
+        for pdf in pdfs:
+            turns = sorted(int(t) for t in pdf["turn_idx"].dropna())
+            for t in turns:
+                if t <= max_turn and seen > 0 and t < max_turn:
+                    regressed += 1
+                max_turn = max(max_turn, t)
+                seen += 1
+        state.update((max_turn, seen))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_minutes * 60 * 1000)
+        if regressed:
+            return iter(
+                [
+                    pd.DataFrame(
+                        [
+                            {
+                                "conv_id": conv_id,
+                                "regressed_turns": regressed,
+                                "max_turn": max_turn,
+                                "turns_seen": seen,
+                            }
+                        ]
+                    )
+                ]
+            )
+        return iter([])
+
+    return (
+        annotated.withWatermark(ts_col, watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def start_violations_sink(
     annotated: DataFrame,
     key_cols,
