@@ -981,6 +981,43 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+@_q(
+    "salted_user_rollup_events",
+    """
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def salted_user_rollup_events(spark, sf_dir):
+    """Per-entity rollup via the two-phase salted aggregation helper
+    (north_rule skew handling) — results must equal a plain groupBy."""
+    from datacheck_spark.dedup import salted_agg
+
+    df = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        df,
+        ["user_id"],
+        salt_buckets=8,
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.min("ts").alias("pmin"),
+            F.max("ts").alias("pmax"),
+            F.sum("value").alias("psum"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n_events"),
+            F.min("pmin").alias("first_ts"),
+            F.max("pmax").alias("last_ts"),
+            F.round(F.sum("psum"), 4).alias("total_value"),
+        ],
+    )
+    return out.orderBy("user_id")
+
+
 @_q("conversation_stats", None)
 def conversation_stats_q(spark, sf_dir):
     """Per-conversation rollup with salted two-phase aggregation for
