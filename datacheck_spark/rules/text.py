@@ -244,9 +244,31 @@ def detected_language(col: Column) -> Column:
 
     Mirrors ``detect_language`` (``text_rules.py:42-74``): per-range
     match counts; dominant = max count, first-in-order wins ties;
-    confidence rounded to 2 dp; ``("unknown", 0.0)`` when no counts or
-    ``len(strip()) < 3``.
+    confidence rounded to 2 dp (HALF_EVEN, matching Python ``round``);
+    ``("unknown", 0.0)`` when no counts or ``len(strip()) < 3``.
+
+    Fast path: every non-latin range starts ≥ U+0400, so pure-ASCII
+    text can only be latin (confidence exactly 1.0) or unknown — one
+    anchored class scan instead of seven ``regexp_count`` array builds.
     """
+    is_ascii = ~col.rlike("[^\\x00-\\x7f]")
+    has_letter = col.rlike("[a-zA-Z]")
+    eligible = col.isNotNull() & (F.length(F.trim(col)) >= 3)
+    ascii_result = F.struct(
+        F.when(eligible & has_letter, F.lit("latin"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang"),
+        F.when(eligible & has_letter, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("confidence"),
+    )
+    return F.when(col.isNull() | is_ascii, ascii_result).otherwise(
+        _detected_language_full(col)
+    )
+
+
+def _detected_language_full(col: Column) -> Column:
+    """Full 7-range tally (non-ASCII inputs)."""
     counts = [F.regexp_count(col, F.lit(p)) for _, p in LANG_RANGES]
     total = reduce(lambda a, b: a + b, counts)
     # argmax with first-in-order tie-break: max struct(count, -index)
