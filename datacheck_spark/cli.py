@@ -228,6 +228,36 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Continuous validation of arriving files — the Spark-first
+    successor of the reference's watch mode (``cli.py:500-598``, a
+    debounced re-run loop): readStream → fused rules → violations sink
+    + console pass-rate windows."""
+    from datacheck_spark import streaming as ST
+
+    spark = _spark("datacheck-stream", args.master)
+    schema = spark.read.parquet(args.data).schema \
+        if args.format == "parquet" else None
+    if schema is None:
+        import json as _json
+
+        with open(args.schema_file, "r", encoding="utf-8") as f:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(_json.load(f))
+    annotated = ST.stream_validate(spark, args.data, schema, fmt=args.format)
+    q = ST.start_violations_sink(
+        annotated,
+        args.key_cols.split(","),
+        args.output,
+        args.checkpoint,
+        trigger_seconds=args.trigger_seconds,
+    )
+    print(f"streaming validation started: {q.id}; writing {args.output}")
+    q.awaitTermination(args.timeout if args.timeout > 0 else None)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="datacheck-spark")
     ap.add_argument("--master", default=None)
@@ -287,6 +317,17 @@ def main(argv=None) -> int:
     t.add_argument("--buckets", type=int, default=32)
     t.add_argument("--threshold", type=float, default=0.0)
     t.set_defaults(fn=cmd_transcripts)
+
+    s = sub.add_parser("stream")
+    s.add_argument("data")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--format", default="parquet")
+    s.add_argument("--schema-file")
+    s.add_argument("--key-cols", default="conv_id,turn_idx")
+    s.add_argument("--trigger-seconds", type=int, default=10)
+    s.add_argument("--timeout", type=int, default=0)
+    s.set_defaults(fn=cmd_stream)
 
     args = ap.parse_args(argv)
     return args.fn(args)
