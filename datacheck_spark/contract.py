@@ -1018,6 +1018,48 @@ def salted_user_rollup_events(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+@_q(
+    "asof_join_events",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           c.event_id AS click_id,
+           round(c.value, 4) AS click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """Backward as-of join (nearest prior click for every purchase per
+    user) — union + running-last window, oracle-checked against
+    DuckDB's native ASOF JOIN."""
+    from datacheck_spark.joins import asof_join_backward
+
+    df = _t(spark, sf_dir, "events")
+    purchases = df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = df.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    joined = asof_join_backward(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_id", "value"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.round("value", 4).alias("click_value"),
+    ).orderBy("purchase_id")
+
+
 @_q("conversation_stats", None)
 def conversation_stats_q(spark, sf_dir):
     """Per-conversation rollup with salted two-phase aggregation for

@@ -100,17 +100,19 @@ def main():
             print(f"FAIL  {name}: rows {len(srows)} vs {len(orows)}")
             ok = False
         else:
+            from collections import Counter
+
             cs = sorted(scols)
             smap = {c: i for i, c in enumerate(scols)}
             omap = {c: i for i, c in enumerate(ocols)}
-            sset = sorted(row_key(tuple(r), cs, smap) for r in srows)
-            oset = sorted(row_key(r, cs, omap) for r in orows)
+            sset = Counter(row_key(tuple(r), cs, smap) for r in srows)
+            oset = Counter(row_key(r, cs, omap) for r in orows)
             if sset != oset:
                 ok = False
-                diffs = [
-                    (a, b) for a, b in zip(sset, oset) if a != b
-                ][:3]
-                print(f"FAIL  {name}: value mismatch, first diffs: {diffs}")
+                diffs = list((sset - oset).items())[:2] + list(
+                    (oset - sset).items()
+                )[:2]
+                print(f"FAIL  {name}: value mismatch, diffs: {diffs}")
         if ok:
             print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
         else:
