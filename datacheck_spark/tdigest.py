@@ -1,0 +1,186 @@
+"""Mergeable t-digest-style quantile sketch over Arrow-vectorized
+partitions (north_star: "distribution-drift as per-partition KS/PSI
+over t-digest histograms computed in vectorized pandas/Arrow UDFs").
+
+Design (Dunning's t-digest, scale function k1 simplified):
+
+- each partition builds a bounded centroid list (mean, weight) from its
+  sorted values inside ``applyInPandas`` (numpy-vectorized — one sort +
+  cumulative-weight bucketing, no per-value Python);
+- centroid lists are tiny (≤ compression per partition) and merge
+  associatively on the driver;
+- quantile estimates interpolate between centroid means.
+
+Accuracy is highest in the tails (size-limited centroids near q=0/1 via
+the k-scale bound). For exact small-scale parity the engine keeps exact
+``percentile``; this sketch is the bounded-memory path for 10^12-row
+drift/anomaly at a few KB of state per column per partition.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TDigest:
+    """Centroids as parallel arrays (means sorted ascending)."""
+
+    means: np.ndarray
+    weights: np.ndarray
+    compression: int = 100
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum())
+
+    def quantile(self, q: float) -> float:
+        """Interpolated quantile estimate."""
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        w = self.weights
+        total = w.sum()
+        target = q * total
+        # centroid midpoints in cumulative-weight space
+        cum = np.cumsum(w) - w / 2.0
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = int(np.searchsorted(cum, target) - 1)
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    def quantiles(self, qs: Sequence[float]) -> List[float]:
+        return [self.quantile(q) for q in qs]
+
+    def cdf(self, x: float) -> float:
+        """Estimated fraction of mass ≤ x."""
+        if len(self.means) == 0:
+            return float("nan")
+        w = self.weights
+        total = w.sum()
+        cum = np.cumsum(w) - w / 2.0
+        if x <= self.means[0]:
+            return 0.0
+        if x >= self.means[-1]:
+            return 1.0
+        i = int(np.searchsorted(self.means, x) - 1)
+        frac = (x - self.means[i]) / (self.means[i + 1] - self.means[i])
+        return float((cum[i] + frac * (cum[i + 1] - cum[i])) / total)
+
+
+def _compress(
+    means: np.ndarray, weights: np.ndarray, compression: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge (means, weights) into ≤ ~compression centroids, fully
+    vectorized: sort, place centroid boundaries at the k1 scale
+    function's integer levels (q_k = (sin(2πk/c)+1)/2 — small centroids
+    in the tails, large in the middle), segment-reduce with
+    ``np.add.reduceat``. No per-value Python."""
+    if len(means) == 0:
+        return means, weights
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+
+    c = compression
+    ks = np.arange(math.floor(-c / 4), math.ceil(c / 4) + 1)
+    qs = (np.sin(2 * np.pi * ks / c) + 1.0) / 2.0
+    targets = qs * total
+    cumw = np.cumsum(weights)
+    starts = np.searchsorted(cumw, targets, side="left")
+    starts = np.unique(np.clip(starts, 0, len(means) - 1))
+    seg_w = np.add.reduceat(weights, starts)
+    seg_mw = np.add.reduceat(means * weights, starts)
+    return seg_mw / seg_w, seg_w
+
+
+def merge_digests(digests: Sequence[TDigest], compression: int = 100) -> TDigest:
+    means = np.concatenate([d.means for d in digests if len(d.means)]) \
+        if digests else np.array([])
+    weights = np.concatenate([d.weights for d in digests if len(d.means)]) \
+        if digests else np.array([])
+    m, w = _compress(means, weights, compression)
+    return TDigest(m, w, compression)
+
+
+def column_tdigest(
+    df: DataFrame, col: str, compression: int = 100
+) -> TDigest:
+    """Build a t-digest of a numeric column: one Arrow-vectorized pass
+    per partition emitting ≤ compression centroids, merged driver-side.
+
+    State shipped per partition: 2 × compression doubles — constant
+    regardless of partition size.
+    """
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("means", ArrayType(DoubleType())),
+            StructField("weights", ArrayType(DoubleType())),
+        ]
+    )
+
+    src = df.select(F.col(col).cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+
+    def per_partition(it):
+        for pdf in it:
+            v = pdf["v"].to_numpy(dtype=np.float64)
+            if len(v) == 0:
+                continue
+            m, w = _compress(v, np.ones_like(v), compression)
+            yield pd.DataFrame(
+                {"means": [m.tolist()], "weights": [w.tolist()]}
+            )
+
+    parts = src.mapInPandas(per_partition, schema=schema).collect()
+    digests = [
+        TDigest(np.asarray(r["means"]), np.asarray(r["weights"]), compression)
+        for r in parts
+    ]
+    if not digests:
+        return TDigest(np.array([]), np.array([]), compression)
+    return merge_digests(digests, compression)
+
+
+def ks_from_digests(a: TDigest, b: TDigest, probe_points: int = 200) -> float:
+    """Approximate two-sample KS distance from two digests: max CDF gap
+    over the union of centroid means (plus uniform probes)."""
+    if len(a.means) == 0 or len(b.means) == 0:
+        return 0.0
+    xs = np.unique(np.concatenate([a.means, b.means]))
+    if len(xs) > probe_points:
+        xs = xs[:: max(1, len(xs) // probe_points)]
+    return max(abs(a.cdf(float(x)) - b.cdf(float(x))) for x in xs)
+
+
+def psi_from_digests(
+    a: TDigest, b: TDigest, bins: int = 10, epsilon: float = 1e-6
+) -> float:
+    """PSI over quantile bins of digest ``a``."""
+    if len(a.means) == 0 or len(b.means) == 0:
+        return 0.0
+    edges = a.quantiles([i / bins for i in range(1, bins)])
+    edges = sorted(set(edges))
+
+    def shares(d: TDigest) -> List[float]:
+        cdfs = [0.0] + [d.cdf(e) for e in edges] + [1.0]
+        return [max(cdfs[i + 1] - cdfs[i], epsilon) for i in range(len(cdfs) - 1)]
+
+    pa, pb = shares(a), shares(b)
+    return float(sum((x - y) * math.log(x / y) for x, y in zip(pa, pb)))
