@@ -43,13 +43,13 @@ def _target_columns(
             continue
         if isinstance(f.dataType, NumericType):
             targets.append(
-                (f.name, F.col(f.name).cast("double"), "number")
+                (f.name, F.col(f.name).try_cast("double"), "number")
             )
         elif isinstance(f.dataType, StringType):
             targets.append(
                 (
                     f"{f.name} (长度)",
-                    F.length(F.col(f.name)).cast("double"),
+                    F.length(F.col(f.name)).try_cast("double"),
                     "length",
                 )
             )
@@ -108,7 +108,7 @@ def compute_stats_df(
 def compute_stats(df: DataFrame, col: str) -> Dict[str, float]:
     """Stats for one numeric column (reference ``compute_stats``,
     ``anomaly.py:16-43``)."""
-    targets = [(col, F.col(col).cast("double"), "number")]
+    targets = [(col, F.col(col).try_cast("double"), "number")]
     return compute_stats_df(df, targets)[col]
 
 
@@ -217,7 +217,7 @@ def outlier_rows(
     st = compute_stats(df, col)
     if st["count"] < MIN_SAMPLES:
         return df.limit(0)
-    c = F.col(col).cast("double")
+    c = F.col(col).try_cast("double")
     if method == "zscore":
         if st["std"] == 0:
             return df.limit(0)

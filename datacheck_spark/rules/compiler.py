@@ -599,6 +599,13 @@ def _config_check_column(
     """
     has_col = field_name in df.columns
     c = F.col(field_name) if has_col else F.lit(None)
+    dtype = (
+        {f.name: f.dataType for f in df.schema.fields}.get(field_name)
+        if has_col
+        else None
+    )
+    is_stringy = dtype is None or isinstance(dtype, StringType)
+    is_arrayish = isinstance(dtype, (ArrayType, MapType))
 
     if check_type == "required":
         # key presence is static in a fixed-schema DataFrame
@@ -611,16 +618,30 @@ def _config_check_column(
             s.isNotNull() & (F.length(F.trim(s)) == 0)
         )
 
-    if check_type == "min_length":
-        v = rule_def.get("value", 1)
-        return F.length(F.coalesce(c.cast("string"), F.lit(""))) >= v
-
-    if check_type == "max_length":
-        v = rule_def.get("value", 100000)
-        return F.length(F.coalesce(c.cast("string"), F.lit(""))) <= v
+    if check_type in ("min_length", "max_length"):
+        # reference: len(value) — works for str/list/dict, raises (→
+        # fail) for numbers/bools (rules.py:281-291 + rules.py:69-76)
+        default = 1 if check_type == "min_length" else 100000
+        v = rule_def.get("value", default)
+        if is_arrayish:
+            ln = F.when(c.isNull(), F.lit(0)).otherwise(F.size(c))
+        elif is_stringy:
+            ln = F.length(F.coalesce(c.cast("string"), F.lit("")))
+        else:
+            # len() raises on non-sized values → exception → failed;
+            # null keeps the len("")=0 missing-key semantics
+            return F.when(
+                c.isNull(), F.lit(0 >= v if check_type == "min_length" else True)
+            ).otherwise(F.lit(False))
+        return ln >= v if check_type == "min_length" else ln <= v
 
     if check_type == "regex":
+        # pattern.search raises on non-str values → fail (rules.py:293-297)
         pattern = rule_def.get("pattern", ".*")
+        if not is_stringy:
+            return F.when(
+                c.isNull(), F.lit("").rlike(pattern)
+            ).otherwise(F.lit(False))
         return F.coalesce(c.cast("string"), F.lit("")).rlike(pattern)
 
     if check_type == "enum":
@@ -642,7 +663,9 @@ def _config_check_column(
 
     if check_type == "number_range":
         mn, mx = rule_def.get("min"), rule_def.get("max")
-        d = c.cast("double")
+        # try_cast: ANSI mode (Spark 4 default) makes a failed cast
+        # throw; the reference's float(value) failure must mean False
+        d = c.try_cast("double")
         in_range = F.lit(True)
         if mn is not None:
             in_range = in_range & (d >= mn)
@@ -670,7 +693,7 @@ def _eval_condition_column(val: Column, operator: str, target: Any) -> Column:
     except (TypeError, ValueError):
         target_coercible = False
 
-    val_d = val.cast("double")
+    val_d = val.try_cast("double")  # ANSI-safe: failed coercion -> null
     if target_coercible:
         ops = {
             ">": val_d > target_f,
