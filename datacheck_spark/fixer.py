@@ -97,18 +97,21 @@ class DataFixer:
         scols = [c for c in _string_cols(fixed) if c in data_cols]
 
         if trim and scols:
+            # str.strip() parity: full Unicode whitespace, not F.trim
+            from datacheck_spark.rules.text import py_strip
+
             changed = [
                 F.sum(
                     (
                         F.col(c).isNotNull()
-                        & (F.col(c) != F.trim(F.col(c)))
+                        & (F.col(c) != py_strip(F.col(c)))
                     ).cast("long")
                 ).alias(c)
                 for c in scols
             ]
             row = fixed.agg(*changed).collect()[0]
             result.trimmed_count = int(sum(row[c] or 0 for c in scols))
-            fixed = fixed.withColumns({c: F.trim(F.col(c)) for c in scols})
+            fixed = fixed.withColumns({c: py_strip(F.col(c)) for c in scols})
 
         if remove_empty:
             before = fixed.count()

@@ -157,10 +157,26 @@ def _max_multiplicity(arr: Column) -> Column:
     return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["best"])
 
 
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.strip()
+# strips the full Unicode whitespace set (str.isspace() == True).
+PY_WHITESPACE_CLASS = (
+    "[\\s\\u001c-\\u001f\\u0085\\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
+
+
 def _py_strip(col: Column) -> Column:
-    """Python ``str.strip()`` equivalent (all whitespace, not just
-    spaces like Spark ``trim``)."""
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    """Python ``str.strip()`` equivalent (full Unicode whitespace set —
+    Spark ``trim`` strips only ``' '``, Java ``\\s`` is ASCII-only)."""
+    return F.regexp_replace(
+        col, f"^{PY_WHITESPACE_CLASS}+|{PY_WHITESPACE_CLASS}+$", ""
+    )
+
+
+def py_strip(col: Column) -> Column:
+    """Public alias for :func:`_py_strip` (used by the YAML compiler,
+    fixer trim, and dedup n-grams for ``str.strip()`` parity)."""
+    return _py_strip(col)
 
 
 def repetitive_flag_native(col: Column) -> Column:

@@ -73,10 +73,11 @@ def load_glob(
         for f in root.rglob(pat)
         if f.is_file() and f.suffix.lower() in SUPPORTED_EXTENSIONS
     )
-    json_files = [str(f) for f in files if f.suffix.lower() in (".json", ".jsonl")]
+    jsonl_files = [str(f) for f in files if f.suffix.lower() == ".jsonl"]
+    json_files = [str(f) for f in files if f.suffix.lower() == ".json"]
     csv_files = [str(f) for f in files if f.suffix.lower() == ".csv"]
     parts: List[DataFrame] = []
-    if json_files:
+    if jsonl_files:
         # PERMISSIVE keeps malformed lines in _corrupt_record so the
         # batch check can account skipped/corrupt input per file
         # (reference skips unreadable files, checker.py:351-352)
@@ -84,9 +85,28 @@ def load_glob(
             spark.read.option("multiLine", "false")
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt_record")
-            .json(json_files)
+            .json(jsonl_files)
             .withColumn("source_file", F.input_file_name())
         )
+    # .json files follow the reference's _load_data semantics
+    # (checker.py:183-218): full-file json.load — a bare list OR a
+    # {samples|responses: [...]} envelope, possibly pretty-printed over
+    # many lines. These are metadata-scale config/sample files, so the
+    # driver-side parse load_data already does is the right tool; an
+    # unparseable file is skipped (reference checker.py:351-352), which
+    # we surface as one corrupt "record" for the skip accounting.
+    for jf in json_files:
+        try:
+            jdf, _schema = load_data(spark, jf)
+        except Exception as exc:  # json.load failure → skipped file
+            parts.append(
+                spark.createDataFrame(
+                    [(str(exc)[:200], f"file:{jf}")],
+                    "_corrupt_record string, source_file string",
+                )
+            )
+            continue
+        parts.append(jdf.withColumn("source_file", F.lit(f"file:{jf}")))
     if csv_files:
         parts.append(
             spark.read.csv(csv_files, header=True, inferSchema=False)
@@ -117,6 +137,23 @@ def check_directory(
 
     engine = engine or ValidationEngine()
     root = Path(dir_path)
+
+    def _rel(source_file: str) -> str:
+        # input_file_name() yields file: URIs; driver-tagged rows use
+        # a plain "file:<path>" prefix. Key results by the path
+        # RELATIVE to dir_path (reference keys the same way,
+        # checker.py:311-324) so same-named files in different
+        # subdirectories stay distinct.
+        p = source_file
+        for prefix in ("file://", "file:"):
+            if p.startswith(prefix):
+                p = p[len(prefix):]
+                break
+        p = "/" + p.lstrip("/")
+        try:
+            return str(Path(p).relative_to(root.resolve()))
+        except ValueError:
+            return Path(p).name
     if not root.is_dir():
         return {"success": False, "error": f"not a directory: {dir_path}"}
 
@@ -137,7 +174,7 @@ def check_directory(
         # as the docs prescribe
         df = df.cache()
         corrupt_per_file = {
-            r["source_file"].split("/")[-1]: r["n"]
+            _rel(r["source_file"]): r["n"]
             for r in df.where(F.col("_corrupt_record").isNotNull())
             .groupBy("source_file")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -160,7 +197,7 @@ def check_directory(
     file_results = {}
     total = passed = 0
     for r in per_file:
-        name = r["source_file"].split("/")[-1]
+        name = _rel(r["source_file"])
         file_results[name] = {
             "total_samples": r["total"],
             "passed_samples": r["passed"],

@@ -74,17 +74,20 @@ def stateful_turn_order_check(
     """Custom stateful streaming operator (``applyInPandasWithState``):
     per-conversation monotonic turn_idx enforcement across microbatches.
 
-    State per conv_id = (max turn_idx seen, turns seen). Each batch
-    emits one row per conversation that regressed (a turn_idx ≤ the
-    running maximum arriving in a later batch) — a check that is
-    impossible with stateless per-batch rules. State times out after
+    State per conv_id = (max turn_idx seen, turns seen). Turns are
+    processed in ARRIVAL order (no per-batch sort, so within-batch
+    out-of-order arrivals are caught too); any turn_idx < the running
+    maximum counts as ``regressed_turns`` and any repeat of the current
+    maximum as ``duplicate_turns`` — a check that is impossible with
+    stateless per-batch rules. State times out after
     ``timeout_minutes`` of event-time inactivity (bounded state for
     10^12-turn streams; conversation keys expire once quiet).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
-        "conv_id string, regressed_turns int, max_turn int, turns_seen long"
+        "conv_id string, regressed_turns int, duplicate_turns int,"
+        " max_turn int, turns_seen long"
     )
     state_schema = "max_turn int, turns_seen long"
 
@@ -96,17 +99,20 @@ def stateful_turn_order_check(
             state.remove()
             return iter([])
         max_turn, seen = state.get if state.exists else (-1, 0)
-        regressed = 0
+        regressed = dupes = 0
         for pdf in pdfs:
-            turns = sorted(int(t) for t in pdf["turn_idx"].dropna())
-            for t in turns:
-                if t <= max_turn and seen > 0 and t < max_turn:
+            # arrival order preserved — a sort here would mask
+            # within-batch out-of-order arrivals (ADVICE r1)
+            for t in (int(t) for t in pdf["turn_idx"].dropna()):
+                if seen > 0 and t < max_turn:
                     regressed += 1
+                elif seen > 0 and t == max_turn:
+                    dupes += 1
                 max_turn = max(max_turn, t)
                 seen += 1
         state.update((max_turn, seen))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_minutes * 60 * 1000)
-        if regressed:
+        if regressed or dupes:
             return iter(
                 [
                     pd.DataFrame(
@@ -114,6 +120,7 @@ def stateful_turn_order_check(
                             {
                                 "conv_id": conv_id,
                                 "regressed_turns": regressed,
+                                "duplicate_turns": dupes,
                                 "max_turn": max_turn,
                                 "turns_seen": seen,
                             }

@@ -25,6 +25,9 @@ from datacheck_spark.rules.compiler import _config_check_column  # noqa: E402
 STRING_VALUES = [
     None, "", "   ", "abc", "hello world", "5", "5.5", "-3", "abc123",
     "0", "new", "done", "weird", "x" * 50,
+    # non-space whitespace: str.strip() vs F.trim divergence (ADVICE r1)
+    "\t\n", "\r\n \t", "\x0b\x0c", " 　", "  ",
+    " \t abc \n ", " abc ",
 ]
 DOUBLE_VALUES = [None, 0.0, 1.0, -3.5, 5.0, 50.5, 99.9, 100.0, 1e6]
 
