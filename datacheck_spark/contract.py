@@ -1060,16 +1060,75 @@ def asof_join_events(spark, sf_dir):
     ).orderBy("purchase_id")
 
 
-@_q("conversation_stats", None)
+# --- transcripts: persisted to parquet so DuckDB reads the SAME rows ------
+
+#: cache for the deterministic synthetic transcripts (n_convs=200,
+#: turns_per_conv=10, seed 42). Written once per machine by entry() /
+#: the first transcript query; both the Spark queries AND the DuckDB
+#: oracles read this file, so the rollup/violation logic is what gets
+#: verified (VERDICT r1 next-round item 1).
+TRANSCRIPTS_CACHE = "/root/repo/.contract_cache/transcripts_200x10"
+
+
+def transcripts_table(spark: SparkSession) -> DataFrame:
+    import os
+
+    if not os.path.exists(os.path.join(TRANSCRIPTS_CACHE, "_SUCCESS")):
+        from datacheck_spark.transcripts import generate_transcripts
+
+        generate_transcripts(
+            spark, n_convs=200, turns_per_conv=10
+        ).coalesce(1).write.mode("overwrite").parquet(TRANSCRIPTS_CACHE)
+    return spark.read.parquet(TRANSCRIPTS_CACHE)
+
+
+_TRANSCRIPTS_GLOB = f"{TRANSCRIPTS_CACHE}/*.parquet"
+
+# Python str.strip() whitespace set in RE2 syntax (DuckDB); the Spark
+# twin is rules.text.PY_WHITESPACE_CLASS (Java syntax).
+_WS_RE2 = (
+    "[\\s\\x{001c}-\\x{001f}\\x{0085}\\x{00a0}\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]"
+)
+# garbled control/replacement class + mojibake run, RE2 syntax (the
+# Spark twin is rules.text.GARBLED_CLASS / ENCODING_ERROR, Java syntax)
+_CTRL_RE2 = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f"
+    "\\x{fffd}\\x{fffe}\\x{ffff}]"
+)
+_MOJIBAKE_RE2 = "[\\x{00c0}-\\x{00ff}]{3,}"
+
+
+@_q(
+    "conversation_stats",
+    f"""
+    SELECT conv_id,
+           count(*)::BIGINT AS n_turns,
+           min(turn_idx) AS first_turn,
+           max(turn_idx) AS last_turn,
+           count(DISTINCT role)::BIGINT AS n_roles
+    FROM read_parquet('{_TRANSCRIPTS_GLOB}')
+    GROUP BY conv_id ORDER BY conv_id
+    """,
+)
 def conversation_stats_q(spark, sf_dir):
     """Per-conversation rollup with salted two-phase aggregation for
-    hot conversations (north_rule skew handling). Rows-only (engine
-    transcripts)."""
+    hot conversations (north_rule skew handling), oracle-checked
+    against a plain DuckDB GROUP BY over the same parquet."""
     from datacheck_spark.sessions import conversation_stats
-    from datacheck_spark.transcripts import generate_transcripts
 
-    df = generate_transcripts(spark, n_convs=200, turns_per_conv=10)
-    return conversation_stats(df, salt_buckets=8).orderBy("conv_id")
+    df = transcripts_table(spark)
+    return (
+        conversation_stats(df, salt_buckets=8)
+        .select(
+            "conv_id",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            "first_turn",
+            "last_turn",
+            F.col("n_roles").cast("long").alias("n_roles"),
+        )
+        .orderBy("conv_id")
+    )
 
 
 @_q(
@@ -1108,19 +1167,408 @@ def lang_consistency_by_source(spark, sf_dir):
     return group_language_consistency(df, "source", "text").orderBy("source")
 
 
-@_q("transcript_violations", None)
+@_q(
+    "transcript_violations",
+    f"""
+    WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_GLOB}'))
+    SELECT conv_id, turn_idx, 'key_present' AS rule_id,
+           'conv_id/turn_idx present' AS rule_name,
+           'error' AS severity, NULL::VARCHAR AS observed
+    FROM t WHERE NOT (conv_id IS NOT NULL AND turn_idx IS NOT NULL)
+    UNION ALL
+    SELECT conv_id, turn_idx, 'turn_idx_nonneg', 'turn_idx >= 0',
+           'error', turn_idx::VARCHAR
+    FROM t WHERE NOT (turn_idx IS NULL OR turn_idx >= 0)
+    UNION ALL
+    SELECT conv_id, turn_idx, 'role_valid', 'role in vocabulary',
+           'error', role
+    FROM t WHERE NOT (role IS NOT NULL AND role IN ('user','assistant','system','tool'))
+    UNION ALL
+    SELECT conv_id, turn_idx, 'text_non_empty', 'text non-empty',
+           'error', substr(text, 1, 80)
+    FROM t WHERE NOT (text IS NOT NULL
+                      AND length(regexp_replace(text, '^{_WS_RE2}+|{_WS_RE2}+$', '', 'g')) > 0)
+    UNION ALL
+    SELECT conv_id, turn_idx, 'text_length_bounds', 'text length bounds',
+           'warning', length(text)::VARCHAR
+    FROM t WHERE NOT (text IS NULL OR length(text) BETWEEN 1 AND 100000)
+    UNION ALL
+    SELECT conv_id, turn_idx, 'pii_detection', 'PII in text',
+           'warning', substr(text, 1, 80)
+    FROM t WHERE NOT (text IS NULL OR NOT regexp_matches(text,
+        '(?:[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}})|(?:1[3-9][0-9]{{9}})|(?:\\+[0-9]{{1,3}}[-.\\s]?[0-9]{{4,14}})|(?:[0-9]{{17}}[0-9Xx])'))
+    UNION ALL
+    SELECT conv_id, turn_idx, 'garbled_text', 'garbled text',
+           'warning', substr(text, 1, 80)
+    FROM t WHERE NOT (text IS NULL OR length(text) < 5 OR NOT (
+        (length(text) - length(regexp_replace(text, '{_CTRL_RE2}', '', 'g')) > 0
+         AND (length(text) - length(regexp_replace(text, '{_CTRL_RE2}', '', 'g')))::DOUBLE
+             / length(text) > 0.01)
+        OR regexp_matches(text, '{_MOJIBAKE_RE2}')))
+    ORDER BY conv_id, turn_idx, rule_id
+    """,
+)
 def transcript_violations(spark, sf_dir):
     """Flagship: fused transcript rule suite violation rows
-    (conv_id, turn_idx, rule_id, observed) over the deterministic
-    synthetic transcripts table, stable turn ordering. Rows-only check
-    (the generator is engine-side)."""
-    from datacheck_spark.transcripts import (
-        generate_transcripts,
-        TranscriptChecker,
+    (conv_id, turn_idx, rule_id, rule_name, severity, observed) under
+    stable turn ordering — oracle-checked rule-by-rule against a DuckDB
+    UNION ALL reimplementation over the same persisted parquet
+    (repetitive_text excluded: per-row Counter logic is not
+    SQL-expressible)."""
+    from datacheck_spark.transcripts import TranscriptChecker
+
+    df = transcripts_table(spark)
+    return TranscriptChecker(include_repetitive=False).violations(df)
+
+
+# --- round-2 oracle widening (VERDICT r1 next-round item 2) ---------------
+# Each query below gives a previously pytest-only SURVEY §2 operator its
+# own DuckDB-oracle contract row by exercising the real package
+# operator in Spark and reimplementing the semantics in ANSI SQL.
+
+
+@_q(
+    "schema_inference_docs",
+    """
+    WITH s AS (SELECT count(*) AS total FROM documents)
+    SELECT * FROM (
+      SELECT 'doc_id' AS field, 'integer' AS itype,
+             (count(doc_id) >= 0.95 * (SELECT total FROM s)) AS required,
+             (count(doc_id) < (SELECT total FROM s)) AS nullable,
+             min(doc_id)::DOUBLE AS lo, max(doc_id)::DOUBLE AS hi,
+             CAST(NULL AS BIGINT) AS avg_len,
+             CASE WHEN count(DISTINCT doc_id) BETWEEN 1 AND 10
+                  THEN array_to_string(list_sort(list(DISTINCT doc_id)), ',')
+                  END AS enum_vals
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', 'integer',
+             count(n_chars) >= 0.95 * (SELECT total FROM s),
+             count(n_chars) < (SELECT total FROM s),
+             min(n_chars)::DOUBLE, max(n_chars)::DOUBLE, NULL,
+             CASE WHEN count(DISTINCT n_chars) BETWEEN 1 AND 10
+                  THEN array_to_string(list_sort(list(DISTINCT n_chars)), ',')
+                  END
+      FROM documents
+      UNION ALL
+      SELECT 'text', 'string',
+             count(text) >= 0.95 * (SELECT total FROM s),
+             count(text) < (SELECT total FROM s),
+             min(length(text))::DOUBLE, max(length(text))::DOUBLE,
+             round_even(avg(length(text)), 0)::BIGINT, NULL
+      FROM documents
+      UNION ALL
+      SELECT 'lang', 'string',
+             count(lang) >= 0.95 * (SELECT total FROM s),
+             count(lang) < (SELECT total FROM s),
+             min(length(lang))::DOUBLE, max(length(lang))::DOUBLE,
+             round_even(avg(length(lang)), 0)::BIGINT, NULL
+      FROM documents
+      UNION ALL
+      SELECT 'source', 'string',
+             count(source) >= 0.95 * (SELECT total FROM s),
+             count(source) < (SELECT total FROM s),
+             min(length(source))::DOUBLE, max(length(source))::DOUBLE,
+             round_even(avg(length(source)), 0)::BIGINT, NULL
+      FROM documents
+    ) ORDER BY field
+    """,
+)
+def schema_inference_docs(spark, sf_dir):
+    """Schema inference (op 24) — the inferred per-field dict emitted
+    as one row per field, every value oracle-checked (type vocabulary,
+    required/nullable flags, length/value bounds, enum candidates)."""
+    from datacheck_spark.stats import infer_schema
+
+    df = _t(spark, sf_dir, "documents")
+    inf = infer_schema(df)
+    rows = []
+    for name, fd in sorted(inf["fields"].items()):
+        is_num = "min_value" in fd
+        rows.append(
+            (
+                name,
+                fd["type"],
+                bool(fd.get("required", False)),
+                bool(fd.get("nullable", False)),
+                float(fd["min_value"] if is_num else fd["min_length"]),
+                float(fd["max_value"] if is_num else fd["max_length"]),
+                int(fd["avg_length"]) if "avg_length" in fd else None,
+                ",".join(str(v) for v in fd["enum"]) if "enum" in fd else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "field string, itype string, required boolean, nullable boolean,"
+        " lo double, hi double, avg_len long, enum_vals string",
+    ).orderBy("field")
+
+
+@_q(
+    "distribution_compare_events",
+    """
+    WITH cur AS (SELECT * FROM events WHERE event_id % 2 = 0),
+         ref AS (SELECT * FROM events WHERE event_id % 2 = 1),
+         stats AS (
+           SELECT f.field,
+                  (SELECT avg(length(CASE f.field WHEN 'event_type' THEN c.event_type ELSE c.props END)) FROM cur c) AS s_avg,
+                  (SELECT avg(length(CASE f.field WHEN 'event_type' THEN r.event_type ELSE r.props END)) FROM ref r) AS r_avg,
+                  (SELECT count(DISTINCT CASE f.field WHEN 'event_type' THEN c.event_type ELSE c.props END)::DOUBLE
+                          / count(CASE f.field WHEN 'event_type' THEN c.event_type ELSE c.props END) FROM cur c) AS s_uniq,
+                  (SELECT count(DISTINCT CASE f.field WHEN 'event_type' THEN r.event_type ELSE r.props END)::DOUBLE
+                          / count(CASE f.field WHEN 'event_type' THEN r.event_type ELSE r.props END) FROM ref r) AS r_uniq
+           FROM (SELECT 'event_type' AS field UNION ALL SELECT 'props') f
+         )
+    SELECT field,
+           round(s_avg, 4) AS sample_avg_len,
+           round(r_avg, 4) AS reference_avg_len,
+           round(abs(s_avg - r_avg) / r_avg * 100, 4) AS diff_percent,
+           round(s_uniq, 6) AS sample_unique_ratio,
+           round(r_uniq, 6) AS reference_unique_ratio
+    FROM stats ORDER BY field
+    """,
+)
+def distribution_compare_events(spark, sf_dir):
+    """Distribution comparison (op 28): current-vs-reference halves of
+    events; the string-field length / diversity comparison dict emitted
+    as rows."""
+    from datacheck_spark.stats import compare_distributions
+
+    df = _t(spark, sf_dir, "events")
+    cur = df.where(F.col("event_id") % 2 == 0)
+    ref = df.where(F.col("event_id") % 2 == 1)
+    cmp = compare_distributions(cur, ref, cols=["event_type", "props"])
+    rows = []
+    for name in sorted(cmp["field_comparisons"]):
+        fc = cmp["field_comparisons"][name]
+        lc = fc.get("length_comparison", {})
+        dc = fc.get("diversity_comparison", {})
+        rows.append(
+            (
+                name,
+                round(lc["sample_avg"], 4),
+                round(lc["reference_avg"], 4),
+                round(lc["diff_percent"], 4),
+                round(dc["sample_unique_ratio"], 6),
+                round(dc["reference_unique_ratio"], 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "field string, sample_avg_len double, reference_avg_len double,"
+        " diff_percent double, sample_unique_ratio double,"
+        " reference_unique_ratio double",
+    ).orderBy("field")
+
+
+@_q(
+    "format_score_events",
+    """
+    SELECT event_id,
+           (value IS NOT NULL) AS format_ok,
+           (event_id % 7) IN (0, 1, 2, 3, 4) AS score_ok
+    FROM events ORDER BY event_id
+    """,
+)
+def format_score_events(spark, sf_dir):
+    """format_valid + score_valid (ops 11-12) through the REAL compiled
+    ruleset: a declared number field (format_valid → null check on a
+    type-matching column) and a derived score column validated against
+    a scoring rubric."""
+    from datacheck_spark.engine import ValidationEngine, RULE_PREFIX
+    from datacheck_spark.schema import ValidationSchema, FieldSpec
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "score", F.pmod(F.col("event_id"), F.lit(7))
+    )
+    schema = ValidationSchema(
+        fields=[FieldSpec(name="value", type="number", required=False)],
+        scoring_rubric=[{"score": i} for i in range(5)],
+    )
+    engine = ValidationEngine(schema=schema)
+    rules = [
+        r
+        for r in engine.compile(df)
+        if r.rule_id in ("format_valid", "score_valid")
+    ]
+    annotated = engine.annotate(df, rules=rules)
+    return annotated.select(
+        "event_id",
+        F.col(RULE_PREFIX + "format_valid").alias("format_ok"),
+        F.col(RULE_PREFIX + "score_valid").alias("score_ok"),
+    ).orderBy("event_id")
+
+
+@_q(
+    "compute_stats_lineitem",
+    """
+    SELECT 'l_quantity' AS field,
+           count(l_quantity)::BIGINT AS n,
+           round(avg(l_quantity), 6) AS mean,
+           round(stddev_pop(l_quantity), 6) AS std,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q3
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           count(l_extendedprice)::BIGINT,
+           round(avg(l_extendedprice), 6),
+           round(stddev_pop(l_extendedprice), 6),
+           round(quantile_cont(l_extendedprice, 0.25), 6),
+           round(quantile_cont(l_extendedprice, 0.5), 6),
+           round(quantile_cont(l_extendedprice, 0.75), 6)
+    FROM lineitem
+    ORDER BY field
+    """,
+)
+def compute_stats_lineitem(spark, sf_dir):
+    """compute_stats (op 31) standalone: population std + exact
+    linear-interpolation percentiles, one agg pass for both columns —
+    oracle-checked against DuckDB stddev_pop / quantile_cont."""
+    from datacheck_spark.anomaly import compute_stats_df
+
+    df = _t(spark, sf_dir, "lineitem")
+    targets = [
+        ("l_quantity", F.col("l_quantity").cast("double"), "number"),
+        ("l_extendedprice", F.col("l_extendedprice").cast("double"), "number"),
+    ]
+    stats = compute_stats_df(df, targets)
+    rows = [
+        (
+            name,
+            int(s["count"]),
+            round(s["mean"], 6),
+            round(s["std"], 6),
+            round(s["q1"], 6),
+            round(s["median"], 6),
+            round(s["q3"], 6),
+        )
+        for name, s in sorted(stats.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "field string, n long, mean double, std double, q1 double,"
+        " median double, q3 double",
+    ).orderBy("field")
+
+
+@_q(
+    "preset_counts_docs",
+    """
+    WITH d AS (
+      SELECT text,
+             substr(text, 1, 5 + (doc_id % 20)::INT) AS instruction,
+             substr(text, 1, 10 + (doc_id % 25)::INT) AS response,
+             text AS chosen,
+             CASE WHEN doc_id % 10 = 0 THEN text ELSE reverse(text) END AS rejected
+      FROM documents
+    )
+    SELECT count(*)::BIGINT AS total,
+           sum(CASE WHEN length(coalesce(instruction, '')) >= 10 THEN 0 ELSE 1 END)::BIGINT AS iq_failed,
+           sum(CASE WHEN length(coalesce(response, '')) >= 20 THEN 0 ELSE 1 END)::BIGINT AS rq_failed,
+           sum(CASE WHEN chosen IS NOT DISTINCT FROM rejected THEN 1 ELSE 0 END)::BIGINT AS pref_failed
+    FROM d
+    """,
+)
+def preset_counts_docs(spark, sf_dir):
+    """sft + preference preset rules (ops 20-21) over a derived
+    instruction/response/chosen/rejected frame — per-rule failure
+    counts through the real compiled rulesets."""
+    from datacheck_spark.engine import ValidationEngine, RULE_PREFIX
+    from datacheck_spark.rules.compiler import (
+        get_preference_ruleset,
+        get_sft_ruleset,
     )
 
-    df = generate_transcripts(spark, n_convs=200, turns_per_conv=10)
-    return TranscriptChecker(include_repetitive=False).violations(df)
+    doc = _t(spark, sf_dir, "documents")
+    d = doc.select(
+        "text",
+        F.expr("substr(text, 1, cast(5 + doc_id % 20 as int))").alias(
+            "instruction"
+        ),
+        F.expr("substr(text, 1, cast(10 + doc_id % 25 as int))").alias(
+            "response"
+        ),
+        F.col("text").alias("chosen"),
+        F.when(F.col("doc_id") % 10 == 0, F.col("text"))
+        .otherwise(F.reverse(F.col("text")))
+        .alias("rejected"),
+    )
+    sft_engine = ValidationEngine(ruleset=get_sft_ruleset())
+    sft_rules = [
+        r
+        for r in sft_engine.compile(d)
+        if r.rule_id in ("instruction_quality", "response_quality")
+    ]
+    sft = sft_engine.annotate(d, rules=sft_rules)
+    pref_engine = ValidationEngine(ruleset=get_preference_ruleset())
+    pref_rules = [
+        r
+        for r in pref_engine.compile(d)
+        if r.rule_id == "chosen_rejected_different"
+    ]
+    pref = pref_engine.annotate(d, rules=pref_rules)
+    counts = sft.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            (~F.col(RULE_PREFIX + "instruction_quality")).cast("long")
+        ).alias("iq_failed"),
+        F.sum((~F.col(RULE_PREFIX + "response_quality")).cast("long")).alias(
+            "rq_failed"
+        ),
+    )
+    pref_counts = pref.agg(
+        F.sum(
+            (~F.col(RULE_PREFIX + "chosen_rejected_different")).cast("long")
+        ).alias("pref_failed")
+    )
+    return counts.crossJoin(pref_counts)
+
+
+@_q(
+    "quality_grade_docs",
+    """
+    WITH agg AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN text IS NOT NULL AND length(trim(text)) = 0
+                      THEN 1 ELSE 0 END) AS failed
+      FROM documents
+    )
+    SELECT total::BIGINT AS total,
+           failed::BIGINT AS failed,
+           round((total - failed)::DOUBLE / total, 6) AS pass_rate,
+           CASE WHEN (total - failed)::DOUBLE / total >= 0.9 THEN 'Excellent'
+                WHEN (total - failed)::DOUBLE / total >= 0.7 THEN 'Good'
+                WHEN (total - failed)::DOUBLE / total >= 0.5 THEN 'Fair'
+                ELSE 'Poor' END AS grade
+    FROM agg
+    """,
+)
+def quality_grade_docs(spark, sf_dir):
+    """Quality grade (op 45): ERROR-severity pass rate of the builtin
+    suite over documents → report.quality_grade letter, oracle-checked
+    (non_empty is the only ERROR rule compiled for this frame; its
+    blank-text predicate is space-only in this corpus so DuckDB trim
+    suffices)."""
+    from datacheck_spark.engine import ValidationEngine, HAS_ERROR
+    from datacheck_spark.report import quality_grade
+    from datacheck_spark.schema import ValidationSchema
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    engine = ValidationEngine(schema=ValidationSchema())
+    rules = [r for r in engine.compile(df) if r.rule_id == "non_empty"]
+    annotated = engine.annotate(df, rules=rules)
+    row = annotated.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col(HAS_ERROR).cast("long")).alias("failed"),
+    ).collect()[0]
+    total, failed = row["total"], int(row["failed"] or 0)
+    pass_rate = (total - failed) / total if total else 1.0
+    return spark.createDataFrame(
+        [(total, failed, round(pass_rate, 6), quality_grade(pass_rate))],
+        "total long, failed long, pass_rate double, grade string",
+    )
 
 
 def queries() -> Dict[str, QueryFn]:
