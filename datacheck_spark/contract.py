@@ -766,11 +766,13 @@ def minhash_near_dup_docs(spark, sf_dir):
 @_q("simhash_docs", None)
 def simhash_docs(spark, sf_dir):
     """SimHash near-dup pairs (training-data dedup variant). Rows-only
-    (xxhash64-specific signatures)."""
+    (xxhash64-specific signatures); max_hamming=3 keeps the 4×16-bit
+    banding pigeonhole-COMPLETE — exactness proven in
+    tests/test_ann_recall.py::TestSimHashExactness."""
     from datacheck_spark.dedup import simhash_near_duplicates
 
     df = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    return simhash_near_duplicates(df, "text", "doc_id", max_hamming=6)
+    return simhash_near_duplicates(df, "text", "doc_id", max_hamming=3)
 
 
 @_q(
@@ -925,7 +927,9 @@ def ivf_topk_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     c = emb.where(F.col("vec_id") >= 5)
-    return ivf_topk(c, q, k=5, planes=4).orderBy("query_id", "rank")
+    return ivf_topk(c, q, k=5, n_cells=10, nprobe=3).orderBy(
+        "query_id", "rank"
+    )
 
 
 @_q("media_features", None)

@@ -102,9 +102,11 @@ class TestSimilarity:
         }
         ivf = {
             (r["query_id"], r["neighbor_id"])
-            for r in SIM.ivf_topk(corpus, q, k=3, planes=2).collect()
+            for r in SIM.ivf_topk(
+                corpus, q, k=3, n_cells=8, nprobe=3
+            ).collect()
         }
-        # coarse cells -> high recall on this smooth manifold
+        # k-means cells + multi-probe -> high recall on clustered data
         assert len(brute & ivf) >= len(brute) // 2
 
 
