@@ -1,0 +1,299 @@
+"""Real media codecs over binary columns, stdlib-only with an optional
+Pillow fast path.
+
+This container ships no image/audio libraries, so the decoders here are
+implemented against the PUBLIC file-format specs with the standard
+library + numpy:
+
+- PNG  (RFC 2083): chunk walk, zlib inflate, scanline unfilter
+  (filters 0-4) vectorized where the format allows — full pixel decode
+  for 8-bit gray/RGB/RGBA, header-only otherwise.
+- BMP  (BITMAPINFOHEADER): 24-bpp uncompressed pixel decode.
+- JPEG (ITU T.81): SOF marker scan → true dimensions (header decode;
+  pixel decode needs a DCT codec — Pillow when importable).
+- WAV  (RIFF): stdlib ``wave`` → channels, sample rate, duration, and
+  int16 PCM sample stats.
+
+Encoders for PNG / BMP / WAV exist so synthetic test media are REAL
+files round-tripped through the decoders, not look-alike bytes.
+
+If Pillow is importable it replaces the stdlib image pixel decode
+(``_PIL`` flag); the pure paths remain the tested fallback.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+try:  # optional dependency — never required
+    from PIL import Image as _PILImage
+
+    _PIL = True
+except ImportError:  # pragma: no cover - environment dependent
+    _PILImage = None
+    _PIL = False
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: color type → samples per pixel (PNG spec §4.1.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_format(data: Optional[bytes]) -> str:
+    """Magic-byte format detection."""
+    if not data:
+        return "empty"
+    if data[:8] == PNG_MAGIC:
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+# --- PNG -------------------------------------------------------------------
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> np.ndarray:
+    stride = w * channels
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    if arr.size != h * (stride + 1):
+        raise ValueError("PNG: decompressed size mismatch")
+    arr = arr.reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    data = arr[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = data[y].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up — fully vectorizable
+            rec = cur + prev
+        else:  # Sub / Average / Paeth carry a serial left-dependency
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    c = (
+                        int(out[y - 1][x - bpp])
+                        if (x >= bpp and y)
+                        else 0
+                    )
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"PNG: unknown filter {f}")
+                rec[x] = (cur[x] + pred) & 0xFF
+        out[y] = rec & 0xFF
+    return out.reshape(h, w, channels)
+
+
+def decode_png(data: bytes) -> Dict[str, Any]:
+    """Decode a PNG: header always; pixels for 8-bit non-interlaced
+    gray/RGB/RGBA (the overwhelmingly common cases)."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = b""
+    w = h = bitd = color = interlace = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bitd, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG: no IHDR")
+    channels = _PNG_CHANNELS.get(color)
+    out: Dict[str, Any] = {
+        "format": "png",
+        "width": int(w),
+        "height": int(h),
+        "channels": int(channels) if channels else None,
+        "pixels": None,
+    }
+    if _PIL:
+        img = _PILImage.open(io.BytesIO(data))
+        out["pixels"] = np.asarray(img)
+        return out
+    if bitd == 8 and interlace == 0 and color in (0, 2, 6) and idat:
+        out["pixels"] = _png_unfilter(zlib.decompress(idat), w, h, channels)
+    return out
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0, one IDAT); 8-bit gray/RGB/RGBA."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, channels = pixels.shape
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# --- BMP -------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> Dict[str, Any]:
+    """24-bpp uncompressed BMP (BITMAPINFOHEADER) pixel decode."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    w, h = struct.unpack("<ii", data[18:26])
+    bpp, comp = struct.unpack("<HI", data[28:34])
+    out: Dict[str, Any] = {
+        "format": "bmp",
+        "width": int(w),
+        "height": abs(int(h)),
+        "channels": 3,
+        "pixels": None,
+    }
+    if bpp == 24 and comp == 0 and hdr_size >= 40:
+        stride = (w * 3 + 3) & ~3
+        rows = []
+        for y in range(abs(h)):
+            start = pixel_off + y * stride
+            row = np.frombuffer(
+                data[start : start + w * 3], dtype=np.uint8
+            ).reshape(w, 3)[:, ::-1]  # BGR → RGB
+            rows.append(row)
+        px = np.stack(rows)
+        if h > 0:  # bottom-up storage
+            px = px[::-1]
+        out["pixels"] = px
+    return out
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24-bpp bottom-up BMP encoder."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        pixels = np.repeat(pixels[:, :, None], 3, axis=2)
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    body = b"".join(
+        pixels[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + body
+
+
+# --- JPEG (header) ---------------------------------------------------------
+
+
+def decode_jpeg_header(data: bytes) -> Dict[str, Any]:
+    """True JPEG dimensions from the SOF0/1/2 marker (pixel decode needs
+    a DCT codec — Pillow path when importable)."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    if _PIL:
+        img = _PILImage.open(io.BytesIO(data))
+        return {
+            "format": "jpeg",
+            "width": img.width,
+            "height": img.height,
+            "channels": len(img.getbands()),
+            "pixels": np.asarray(img.convert("RGB")),
+        }
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
+            h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+            channels = data[pos + 9]
+            return {
+                "format": "jpeg",
+                "width": int(w),
+                "height": int(h),
+                "channels": int(channels),
+                "pixels": None,
+            }
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        pos += 2 + seglen
+    raise ValueError("JPEG: no SOF marker")
+
+
+# --- WAV -------------------------------------------------------------------
+
+
+def decode_wav(data: bytes) -> Dict[str, Any]:
+    """RIFF/WAVE PCM decode via stdlib ``wave``: stream params + int16
+    sample array."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        channels = wf.getnchannels()
+        rate = wf.getframerate()
+        n_frames = wf.getnframes()
+        width = wf.getsampwidth()
+        frames = wf.readframes(n_frames)
+    samples = None
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2")
+    return {
+        "format": "wav",
+        "channels": channels,
+        "sample_rate_hz": rate,
+        "n_frames": n_frames,
+        "duration_ms": int(round(n_frames * 1000 / rate)) if rate else 0,
+        "samples": samples,
+    }
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate_hz: int = 8000, channels: int = 1
+) -> bytes:
+    """int16 PCM WAV encoder via stdlib ``wave``."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate_hz)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()

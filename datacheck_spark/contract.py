@@ -934,9 +934,12 @@ def ivf_topk_embeddings(spark, sf_dir):
 
 @_q("media_features", None)
 def media_features(spark, sf_dir):
-    """Multimodal plumbing: synthetic binary media table →
-    Arrow-batched mapInPandas feature extraction (stubbed decode).
-    Rows-only."""
+    """Multimodal: synthetic media table with REAL PNG/BMP/WAV payloads
+    → Arrow-batched mapInPandas decode + feature extraction (stdlib
+    codecs; Pillow optional; video rows via the declared stub path).
+    Rows-only (binary payloads aren't DuckDB-queryable), but decode
+    correctness is round-trip-proven in tests/test_codecs.py and
+    metadata-vs-decoded consistency in tests/test_pipeline_ops.py."""
     from datacheck_spark.multimodal import extract_media_features, synthetic_media
 
     media = synthetic_media(spark, n=200)

@@ -3,26 +3,34 @@
 Training-data pipeline op (task brief): images/audio/video travel as
 ``binary`` columns with a metadata struct; decode / feature-extraction
 / resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages.
-The image/audio codec libraries are NOT in this container, so the
-decode kernels are STUBBED (deterministic fakes clearly marked), while
-the Spark-side plumbing — schema, batch shape, partitioning, UDF
-signatures — is real and tested.
+
+Decode is REAL for PNG / BMP (stdlib+numpy pixel decode), JPEG
+(header dimensions; full pixels via the optional Pillow path), and WAV
+(stdlib PCM decode) — see ``datacheck_spark.codecs``. Unknown formats
+(e.g. video containers, which need a codec library this container
+doesn't ship) fall back to a clearly-marked deterministic stub so the
+plumbing stays exercisable; each row reports its ``decode_status``
+(``ok`` / ``header`` / ``stub`` / ``error``).
 """
 
 from __future__ import annotations
 
 from typing import Iterator, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
     StructType,
 )
+
+from datacheck_spark import codecs
 
 #: Standard multimodal row: payload + typed metadata.
 MEDIA_SCHEMA = StructType(
@@ -39,18 +47,11 @@ MEDIA_SCHEMA = StructType(
 
 
 def _decode_image_stub(payload: bytes) -> dict:
-    """STUB decode: real deployments plug Pillow/libvips here. The
-    deterministic fake derives pseudo-dimensions from the payload hash
-    so downstream plumbing (schema, grouping, joins) is fully
-    exercisable without codec libraries."""
-    try:
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode not wired; replace _decode_image_stub"
-        )
-    except ImportError:
-        pass
+    """STUB for formats with no in-container codec (video containers,
+    exotic image formats). The deterministic fake derives
+    pseudo-dimensions from the payload hash so downstream plumbing
+    (schema, grouping, joins) stays exercisable; rows through this path
+    carry ``decode_status='stub'``."""
     import hashlib
 
     # deterministic digest (Python's hash() is salted per process)
@@ -68,11 +69,81 @@ FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", StringType(), False),
         StructField("kind", StringType(), True),
+        StructField("format", StringType(), True),
         StructField("decoded_width", IntegerType(), True),
         StructField("decoded_height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("sample_rate_hz", IntegerType(), True),
+        StructField("duration_ms_decoded", IntegerType(), True),
+        StructField("mean_value", DoubleType(), True),
         StructField("n_bytes", IntegerType(), True),
+        StructField("decode_status", StringType(), True),
     ]
 )
+
+_EMPTY_FEATS = {
+    "format": None,
+    "decoded_width": None,
+    "decoded_height": None,
+    "n_channels": None,
+    "sample_rate_hz": None,
+    "duration_ms_decoded": None,
+    "mean_value": None,
+    "decode_status": None,
+}
+
+
+def _decode_one(payload: Optional[bytes]) -> dict:
+    """Dispatch one payload through the real codecs; never raises."""
+    out = dict(_EMPTY_FEATS)
+    data = payload or b""
+    out["n_bytes"] = len(data)
+    fmt = codecs.sniff_format(data)
+    try:
+        if fmt == "png":
+            d = codecs.decode_png(data)
+        elif fmt == "bmp":
+            d = codecs.decode_bmp(data)
+        elif fmt == "jpeg":
+            d = codecs.decode_jpeg_header(data)
+        elif fmt == "wav":
+            w = codecs.decode_wav(data)
+            out.update(
+                format="wav",
+                n_channels=w["channels"],
+                sample_rate_hz=w["sample_rate_hz"],
+                duration_ms_decoded=w["duration_ms"],
+                decode_status="ok" if w["samples"] is not None else "header",
+            )
+            if w["samples"] is not None and len(w["samples"]):
+                out["mean_value"] = float(
+                    np.abs(w["samples"].astype(np.float64)).mean()
+                )
+            return out
+        else:
+            s = _decode_image_stub(data)
+            out.update(
+                format=fmt,
+                decoded_width=s["decoded_width"],
+                decoded_height=s["decoded_height"],
+                decode_status="stub",
+            )
+            return out
+    except Exception:
+        out["format"] = fmt
+        out["decode_status"] = "error"
+        return out
+    out.update(
+        format=d["format"],
+        decoded_width=d["width"],
+        decoded_height=d["height"],
+        n_channels=d.get("channels"),
+        decode_status="ok" if d.get("pixels") is not None else "header",
+    )
+    px = d.get("pixels")
+    if px is not None and px.size:
+        out["mean_value"] = float(np.asarray(px, dtype=np.float64).mean())
+    return out
 
 
 def extract_media_features(df: DataFrame) -> DataFrame:
@@ -81,21 +152,21 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     ``mapInPandas`` streams column batches (payload bytes stay in Arrow
     buffers — no per-row Python round trip for the non-binary columns);
     partitioning is preserved, so co-partitioned joins against the
-    source remain shuffle-free.
+    source remain shuffle-free. Per-payload decode is inherently
+    per-row work (each blob is one file); the Arrow batching amortizes
+    the serialization, and the numpy kernels inside the codecs keep the
+    pixel math vectorized.
     """
+
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_image_stub(p if p is not None else b"")
-                for p in pdf["payload"]
-            ]
+            feats = [_decode_one(p) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "kind", pdf["kind"].values)
-            yield out[
-                ["media_id", "kind", "decoded_width", "decoded_height", "n_bytes"]
-            ]
+            yield out[cols]
 
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
@@ -105,7 +176,7 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Frame-sampling plan for video rows: explode (media_id, frame_ts)
     pairs natively from duration metadata — the decode of each frame is
-    the stubbed kernel's job; the plan (which frames, how many rows) is
+    the codec kernel's job; the plan (which frames, how many rows) is
     pure Catalyst."""
     return (
         df.where(F.col("kind") == "video")
@@ -166,32 +237,131 @@ def media_integrity_rules(df: DataFrame):
     ]
 
 
-def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for tests (binary payloads
-    derived from seeded hashes — no external data)."""
-    base = spark.range(n).select(
-        F.format_string("m_%05d", F.col("id")).alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.col("id"), 3) + 1).cast("int"),
-        ).alias("kind"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.encode(
-            F.repeat(
-                F.conv(F.abs(F.xxhash64("id", F.lit(seed))).cast("string"), 10, 16),
-                4,
+def metadata_consistency_rules(features: DataFrame):
+    """Cross-check DECODED properties against declared metadata — only
+    possible with real decode: a declared 640×480 image whose payload
+    decodes to 32×32 is a data bug no metadata-only rule can catch.
+    Expects the join of a media table with extract_media_features."""
+    from datacheck_spark.rules.compiler import CompiledRule
+    from datacheck_spark.schema import Severity
+
+    decoded = F.col("decode_status").isin(["ok", "header"])
+    return [
+        CompiledRule(
+            "decoded_dims_match",
+            "decoded dims match metadata",
+            Severity.WARNING,
+            ~decoded
+            | F.col("decoded_width").isNull()
+            | F.col("width").isNull()
+            | (
+                (F.col("decoded_width") == F.col("width"))
+                & (F.col("decoded_height") == F.col("height"))
             ),
-            "UTF-8",
-        ).alias("payload"),
-        (64 + F.pmod(F.abs(F.xxhash64("id", F.lit(seed + 1))), 1024)).cast(
-            "int"
-        ).alias("width"),
-        (64 + F.pmod(F.abs(F.xxhash64("id", F.lit(seed + 2))), 1024)).cast(
-            "int"
-        ).alias("height"),
-        F.when(
-            F.pmod(F.col("id"), 3) > 0,
-            (1000 + F.pmod(F.abs(F.xxhash64("id", F.lit(seed + 3))), 10000)).cast("int"),
-        ).alias("duration_ms"),
-    )
-    return base
+            F.concat_ws(
+                "x", F.col("decoded_width"), F.col("decoded_height")
+            ),
+        ),
+        CompiledRule(
+            "decoded_duration_match",
+            "decoded duration within 10ms of metadata",
+            Severity.WARNING,
+            ~decoded
+            | F.col("duration_ms_decoded").isNull()
+            | F.col("duration_ms").isNull()
+            | (
+                F.abs(F.col("duration_ms_decoded") - F.col("duration_ms"))
+                <= 10
+            ),
+            F.col("duration_ms_decoded").cast("string"),
+        ),
+        CompiledRule(
+            "payload_decodable",
+            "payload decodes",
+            Severity.ERROR,
+            F.col("decode_status") != "error",
+            F.col("format"),
+        ),
+    ]
+
+
+def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table with REAL payloads: PNG and
+    BMP images (gradient pixels, true dims in metadata), WAV audio
+    (int16 PCM, true duration in metadata), and video rows carrying
+    container-less bytes (the declared stub path). Per-row encoding
+    runs distributed inside mapInPandas — no driver-side row loop."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                kind = ["image", "audio", "video"][i % 3]
+                if kind == "image":
+                    w = 8 + int(rng.integers(0, 40))
+                    h = 8 + int(rng.integers(0, 40))
+                    px = (
+                        np.add.outer(
+                            np.arange(h) * 3, np.arange(w) * 5
+                        ) % 256
+                    ).astype(np.uint8)
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                    if i % 6 == 0:
+                        payload, mime = codecs.encode_png(px), "image/png"
+                    else:
+                        payload, mime = codecs.encode_bmp(px), "image/bmp"
+                    rows.append(
+                        (f"m_{i:05d}", kind, mime, payload, w, h, None)
+                    )
+                elif kind == "audio":
+                    rate = 8000
+                    n_frames = rate // 4 + int(rng.integers(0, rate))
+                    t = np.arange(n_frames, dtype=np.float64)
+                    samples = (
+                        3000 * np.sin(2 * np.pi * (220 + (i % 8) * 55) * t / rate)
+                    ).astype("<i2")
+                    payload = codecs.encode_wav(samples, rate)
+                    dur = int(round(n_frames * 1000 / rate))
+                    rows.append(
+                        (
+                            f"m_{i:05d}",
+                            kind,
+                            "audio/wav",
+                            payload,
+                            None,
+                            None,
+                            dur,
+                        )
+                    )
+                else:
+                    # video: no in-container codec — stub bytes, known
+                    # duration metadata drives the frame-sample plan
+                    payload = rng.bytes(256)
+                    dur = 1000 + int(rng.integers(0, 10000))
+                    rows.append(
+                        (
+                            f"m_{i:05d}",
+                            kind,
+                            "video/unknown",
+                            payload,
+                            None,
+                            None,
+                            dur,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "mime",
+                    "payload",
+                    "width",
+                    "height",
+                    "duration_ms",
+                ],
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

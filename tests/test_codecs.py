@@ -1,0 +1,134 @@
+"""Round-trip and golden tests for the stdlib media codecs (no Spark).
+
+The decoders are implemented against the public format specs; the
+round-trip tests prove encoder+decoder agree, and the filter tests
+drive the PNG unfilter paths the encoder itself never emits."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from datacheck_spark import codecs
+
+
+class TestPng:
+    def test_rgb_roundtrip(self):
+        rng = np.random.default_rng(1)
+        px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        d = codecs.decode_png(codecs.encode_png(px))
+        assert (d["width"], d["height"], d["channels"]) == (17, 13, 3)
+        assert np.array_equal(d["pixels"], px)
+
+    def test_gray_and_rgba_roundtrip(self):
+        rng = np.random.default_rng(2)
+        gray = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+        d = codecs.decode_png(codecs.encode_png(gray))
+        assert np.array_equal(d["pixels"][:, :, 0], gray)
+        rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+        d = codecs.decode_png(codecs.encode_png(rgba))
+        assert np.array_equal(d["pixels"], rgba)
+
+    @pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+    def test_unfilter_paths(self, ftype):
+        """Hand-build a PNG using each nonzero filter type and check the
+        unfiltered pixels equal the reference filter inversion."""
+        rng = np.random.default_rng(ftype)
+        px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        h, w, ch = px.shape
+        stride = w * ch
+        # forward-filter the rows per the spec
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            cur = px[y].reshape(-1).astype(np.int32)
+            filt = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                filt[x] = (cur[x] - pred) & 0xFF
+            raw.append(ftype)
+            raw.extend(int(v) for v in filt)
+            prev = cur
+
+        def chunk(ctype, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(
+                    ">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF
+                )
+            )
+
+        data = (
+            codecs.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        d = codecs.decode_png(data)
+        assert np.array_equal(d["pixels"], px)
+
+
+class TestBmp:
+    def test_roundtrip_with_padding(self):
+        rng = np.random.default_rng(3)
+        # width 5 -> 15-byte rows padded to 16: exercises stride padding
+        px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+        d = codecs.decode_bmp(codecs.encode_bmp(px))
+        assert (d["width"], d["height"]) == (5, 4)
+        assert np.array_equal(d["pixels"], px)
+
+
+class TestWav:
+    def test_roundtrip(self):
+        t = np.arange(800, dtype=np.float64)
+        samples = (1000 * np.sin(2 * np.pi * 440 * t / 8000)).astype("<i2")
+        d = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+        assert d["sample_rate_hz"] == 8000
+        assert d["channels"] == 1
+        assert d["duration_ms"] == 100
+        assert np.array_equal(d["samples"], samples)
+
+
+class TestJpegHeader:
+    def test_sof_dimensions(self):
+        """Minimal synthetic JPEG stream: SOI + APP0 + SOF0."""
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", 48, 64)  # height 48, width 64
+            + b"\x03"
+        )
+        data = b"\xff\xd8" + app0 + sof0
+        if codecs._PIL:
+            pytest.skip("Pillow path parses full streams only")
+        d = codecs.decode_jpeg_header(data)
+        assert (d["width"], d["height"], d["channels"]) == (64, 48, 3)
+
+
+class TestSniff:
+    def test_magic_bytes(self):
+        assert codecs.sniff_format(codecs.encode_png(np.zeros((2, 2), np.uint8))) == "png"
+        assert codecs.sniff_format(codecs.encode_bmp(np.zeros((2, 2, 3), np.uint8))) == "bmp"
+        assert codecs.sniff_format(codecs.encode_wav(np.zeros(8, "<i2"))) == "wav"
+        assert codecs.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+        assert codecs.sniff_format(b"") == "empty"
+        assert codecs.sniff_format(b"garbage") == "unknown"

@@ -112,13 +112,44 @@ class TestSimilarity:
 
 class TestMultimodal:
     def test_synthetic_media_and_features(self, spark):
-        df = MM.synthetic_media(spark, n=30)
+        df = MM.synthetic_media(spark, n=30).cache()
         assert df.count() == 30
         feats = MM.extract_media_features(df)
-        rows = feats.collect()
+        rows = {r["media_id"]: r for r in feats.collect()}
         assert len(rows) == 30
-        assert all(r["n_bytes"] > 0 for r in rows)
-        assert all(r["decoded_width"] >= 64 for r in rows)
+        assert all(r["n_bytes"] > 0 for r in rows.values())
+        meta = {r["media_id"]: r for r in df.collect()}
+        for mid, r in rows.items():
+            m = meta[mid]
+            if m["kind"] == "image":
+                # REAL pixel decode: dims must equal the true encoded dims
+                assert r["decode_status"] == "ok"
+                assert r["format"] in ("png", "bmp")
+                assert r["decoded_width"] == m["width"]
+                assert r["decoded_height"] == m["height"]
+                assert r["mean_value"] is not None and 0 <= r["mean_value"] <= 255
+            elif m["kind"] == "audio":
+                assert r["decode_status"] == "ok"
+                assert r["format"] == "wav"
+                assert r["sample_rate_hz"] == 8000
+                assert abs(r["duration_ms_decoded"] - m["duration_ms"]) <= 1
+                assert r["mean_value"] > 0  # |sine| mean
+            else:  # video: declared stub path
+                assert r["decode_status"] == "stub"
+
+    def test_metadata_consistency_rules(self, spark):
+        from datacheck_spark.engine import ValidationEngine
+
+        df = MM.synthetic_media(spark, n=30)
+        joined = df.join(
+            MM.extract_media_features(df).drop("kind"), "media_id"
+        )
+        rules = MM.metadata_consistency_rules(joined)
+        engine = ValidationEngine()
+        annotated = engine.annotate(joined, rules=rules)
+        res = engine.summarize(annotated, rules, id_col="media_id")
+        assert res.total_samples == 30
+        assert res.failed_samples == 0  # decoded props match metadata
 
     def test_frame_sample_plan(self, spark):
         df = MM.synthetic_media(spark, n=30)
