@@ -258,6 +258,149 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_contribute(args) -> int:
+    """Quality-check + contribution weighting (reference
+    ``cli.py:403-461``): annotation responses → annotation-ruleset
+    check → weight = base × quality × time × scarcity → JSON record."""
+    from pathlib import Path
+
+    from datacheck_spark import sources as SRC
+    from datacheck_spark.contribute import (
+        calculate_contributions,
+        contribution_summary,
+    )
+    from datacheck_spark.schema import ValidationSchema
+
+    spark = _spark("datacheck-contribute", args.master)
+    p = Path(args.responses)
+    if p.suffix.lower() == ".parquet":
+        df, embedded = spark.read.parquet(args.responses), {}
+    else:
+        df, embedded = SRC.load_data(spark, args.responses)
+    schema = ValidationSchema()
+    if args.schema:
+        with open(args.schema, "r", encoding="utf-8") as f:
+            schema = ValidationSchema.from_dict(json.load(f))
+    elif embedded:
+        schema = ValidationSchema.from_dict(embedded)
+
+    contribs = calculate_contributions(
+        df, schema=schema, dataset_created_at=args.created_at
+    )
+    summary = contribution_summary(contribs)
+    # bounded collect: contribution records are per-annotation rows; cap
+    # the JSON payload (full rows belong in a table sink at scale)
+    records = [
+        {
+            "annotator_id": args.annotator,
+            "contrib_type": r["contrib_type"],
+            "base": r["base"],
+            "quality_multiplier": r["quality_mult"],
+            "time_multiplier": r["time_mult"],
+            "scarcity_multiplier": r["scarcity_mult"],
+            "weight": r["weight"],
+            "passed": r["passed"],
+        }
+        for r in contribs.limit(args.limit).collect()
+    ]
+    out = {**summary, "annotator_id": args.annotator, "contributions": records}
+    payload = json.dumps(out, indent=2, ensure_ascii=False)
+    if args.output:
+        Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(payload)
+        print(f"saved: {args.output}")
+    else:
+        print(payload)
+    print(
+        f"total={summary['total_responses']} passed="
+        f"{summary['passed_responses']} total_weight={summary['total_weight']}"
+    )
+    return 0
+
+
+def cmd_watch(args) -> int:
+    """Debounced re-check on file change (reference ``cli.py:500-598``).
+
+    The reference uses watchdog; this container has no inotify
+    dependency, so the watcher polls mtimes of supported files — the
+    debounce/re-run semantics are the same. For continuous production
+    validation prefer ``stream`` (Structured Streaming, exactly-once
+    sink); watch is the interactive dev loop."""
+    import time
+    from pathlib import Path
+
+    from datacheck_spark import sources as SRC
+    from datacheck_spark.engine import ValidationEngine
+    from datacheck_spark.rules.compiler import (
+        RuleSet,
+        get_annotation_ruleset,
+        get_preference_ruleset,
+        get_sft_ruleset,
+    )
+
+    spark = _spark("datacheck-watch", args.master)
+    ruleset = {
+        "sft": get_sft_ruleset,
+        "preference": get_preference_ruleset,
+        "annotation": get_annotation_ruleset,
+    }.get(args.ruleset, RuleSet)()
+    engine = ValidationEngine(ruleset=ruleset)
+    path = Path(args.data)
+
+    def snapshot():
+        if path.is_dir():
+            return {
+                str(f): f.stat().st_mtime
+                for f in sorted(path.rglob("*"))
+                if f.is_file()
+                and f.suffix.lower() in SRC.SUPPORTED_EXTENSIONS
+            }
+        return {str(path): path.stat().st_mtime if path.exists() else 0}
+
+    def run_check():
+        try:
+            if path.is_dir():
+                out = SRC.check_directory(spark, str(path), engine=engine)
+                print(
+                    f"checked {out.get('total_files', 0)} files: "
+                    f"pass_rate={out.get('overall_pass_rate')}"
+                )
+            else:
+                df, _ = SRC.load_data(spark, str(path))
+                res = engine.check(df)
+                print(
+                    f"checked {res.total_samples} samples: "
+                    f"pass_rate={res.pass_rate:.4f}"
+                )
+        except Exception as exc:  # keep watching on bad intermediate files
+            print(f"check error: {exc}")
+
+    print(f"watching {args.data} (debounce {args.debounce}s)")
+    run_check()
+    seen = snapshot()
+    iterations = 0
+    deadline = time.time() + args.timeout if args.timeout > 0 else None
+    while True:
+        if deadline and time.time() >= deadline:
+            return 0
+        if args.max_checks and iterations >= args.max_checks:
+            return 0
+        time.sleep(args.debounce)
+        cur = snapshot()
+        if cur != seen:
+            # debounce: wait for the tree to settle before re-checking
+            while True:
+                time.sleep(args.debounce)
+                nxt = snapshot()
+                if nxt == cur:
+                    break
+                cur = nxt
+            seen = cur
+            run_check()
+            iterations += 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="datacheck-spark")
     ap.add_argument("--master", default=None)
@@ -317,6 +460,23 @@ def main(argv=None) -> int:
     t.add_argument("--buckets", type=int, default=32)
     t.add_argument("--threshold", type=float, default=0.0)
     t.set_defaults(fn=cmd_transcripts)
+
+    cb = sub.add_parser("contribute")
+    cb.add_argument("responses")
+    cb.add_argument("-s", "--schema")
+    cb.add_argument("-o", "--output")
+    cb.add_argument("--annotator", default="unknown")
+    cb.add_argument("--created-at", default=None)
+    cb.add_argument("--limit", type=int, default=10000)
+    cb.set_defaults(fn=cmd_contribute)
+
+    w = sub.add_parser("watch")
+    w.add_argument("data")
+    w.add_argument("--ruleset", default="default")
+    w.add_argument("--debounce", type=float, default=1.0)
+    w.add_argument("--timeout", type=float, default=0)
+    w.add_argument("--max-checks", type=int, default=0)
+    w.set_defaults(fn=cmd_watch)
 
     s = sub.add_parser("stream")
     s.add_argument("data")
