@@ -104,12 +104,16 @@ def main():
 
     tpath = ensure_transcripts(spark, BENCH_CONVS)
     # warm the JVM / code cache / page cache once, then take the best
-    # of 3 measured runs (the host shows bursty interference; min is
-    # the least-noisy estimator of the job's true cost)
+    # of 5 measured runs (the host shows bursty interference with a
+    # 50%+ wall spread across runs; min is the least-noisy estimator
+    # of the job's true cost, and the median is reported alongside)
     run_transcript_suite(spark, tpath)
-    runs = [run_transcript_suite(spark, tpath) for _ in range(3)]
+    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
+    runs = [run_transcript_suite(spark, tpath) for _ in range(n_runs)]
     suite = min(runs, key=lambda r: r["wall_sec"])
+    walls = sorted(round(r["wall_sec"], 2) for r in runs)
     suite["all_walls"] = [round(r["wall_sec"], 2) for r in runs]
+    suite["median_wall"] = walls[len(walls) // 2]
 
     queries = contract.queries()
     per_query = {}
@@ -132,6 +136,7 @@ def main():
         "validated_turns_per_sec": round(suite["turns_per_sec"], 1),
         "transcript_pass_rate": suite["pass_rate"],
         "suite_walls_sec": suite.get("all_walls", []),
+        "suite_wall_median_sec": suite.get("median_wall"),
         "cpus": int(CPUS),
     }
     print(json.dumps(out))

@@ -73,9 +73,16 @@ def call_tool(
             remove_empty=args.get("remove_empty", True),
             strip_pii=args.get("strip_pii", False),
         )
+        # bounded response: API inputs are request-sized, but cap the
+        # echo anyway so a large fix job can't blow up the driver /
+        # HTTP payload (VERDICT r1 issue 5); truncation is flagged.
+        max_rows = int(args.get("max_return_rows", 10000))
+        sample = fixed.limit(max_rows + 1).collect()
+        truncated = len(sample) > max_rows
         return {
             "result": res.__dict__,
-            "fixed_samples": [r.asDict() for r in fixed.collect()],
+            "fixed_samples": [r.asDict() for r in sample[:max_rows]],
+            "truncated": truncated,
         }
 
     if name == "compare_datasets":

@@ -1578,6 +1578,78 @@ def quality_grade_docs(spark, sf_dir):
     )
 
 
+#: cache of deterministic JSONL files for the directory-scan oracle —
+#: pure-Python writes (no Spark), materialized by entry() and lazily by
+#: the query; includes same-named files in different subdirectories to
+#: pin the relative-path keying.
+DIRSCAN_CACHE = "/root/repo/.contract_cache/dirscan"
+
+
+def ensure_dirscan_files() -> str:
+    import json as _json
+    import os
+
+    marker = os.path.join(DIRSCAN_CACHE, ".complete")
+    if os.path.exists(marker):
+        return DIRSCAN_CACHE
+    spec = {
+        "a/part1.jsonl": [
+            {"id": str(i), "text": "   " if i % 5 == 0 else f"hello world {i}"}
+            for i in range(10)
+        ],
+        "a/part2.jsonl": [
+            {"id": str(i), "text": "   " if i % 7 == 0 else f"more text {i}"}
+            for i in range(10, 25)
+        ],
+        "b/part1.jsonl": [
+            {"id": str(i), "text": f"clean row {i}"} for i in range(5)
+        ],
+    }
+    for rel, rows in spec.items():
+        path = os.path.join(DIRSCAN_CACHE, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("ok")
+    return DIRSCAN_CACHE
+
+
+@_q(
+    "dir_scan_per_file",
+    f"""
+    SELECT regexp_replace(filename, '.*?/dirscan/', '') AS rel_file,
+           count(*)::BIGINT AS total,
+           sum(CASE WHEN text IS NOT NULL AND length(trim(text)) = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS blank_count
+    FROM read_json_auto('{DIRSCAN_CACHE}/**/*.jsonl', filename=true)
+    GROUP BY rel_file ORDER BY rel_file
+    """,
+)
+def dir_scan_per_file(spark, sf_dir):
+    """Directory scan + per-file aggregation (ops 4/30): load_glob over
+    a nested directory of JSONL files (same basename in two subdirs),
+    ONE job per-file rollup keyed by relative path — oracle-checked
+    against DuckDB's native multi-file JSON reader."""
+    from datacheck_spark.sources import load_glob
+
+    root = ensure_dirscan_files()
+    df = load_glob(spark, root)
+    c = F.col("text")
+    rel = F.regexp_replace("source_file", ".*?/dirscan/", "")
+    return (
+        df.groupBy(rel.alias("rel_file"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                (c.isNotNull() & (F.length(F.trim(c)) == 0)).cast("long")
+            ).alias("blank_count"),
+        )
+        .orderBy("rel_file")
+    )
+
+
 def queries() -> Dict[str, QueryFn]:
     return dict(_QUERIES)
 
