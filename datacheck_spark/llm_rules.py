@@ -87,30 +87,72 @@ def _parse_judge_json(text: str) -> dict:
         }
 
 
-def _call_provider(provider: str, model: Optional[str], prompt: str) -> str:
-    """Real-provider call (anthropic/openai SDKs); raises ImportError /
-    auth errors when unavailable — callers choose the mock provider in
-    offline environments."""
+def _http_post_json(url: str, headers: dict, payload: dict, timeout: float = 30.0) -> dict:
+    """Stdlib HTTP POST with a JSON body — no SDK dependency, so the
+    provider plumbing is testable against a local server speaking the
+    public REST shapes."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={**headers, "content-type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def _call_provider(
+    provider: str,
+    model: Optional[str],
+    prompt: str,
+    base_url: Optional[str] = None,
+) -> str:
+    """Real-provider HTTP call against the PUBLIC REST APIs
+    (Anthropic Messages / OpenAI Chat Completions). ``base_url``
+    overrides the endpoint (also via ``ANTHROPIC_BASE_URL`` /
+    ``OPENAI_BASE_URL``) so tests can point at a local server; auth
+    errors and network failures surface to the caller, which treats
+    them as the pass-neutral JSON-failure fallback."""
+    import os
+
     if provider == "anthropic":
-        import anthropic
-
-        client = anthropic.Anthropic()
-        msg = client.messages.create(
-            model=model or "claude-sonnet-4-5",
-            max_tokens=256,
-            messages=[{"role": "user", "content": prompt}],
+        base = (
+            base_url
+            or os.environ.get("ANTHROPIC_BASE_URL", "https://api.anthropic.com")
+        ).rstrip("/")
+        data = _http_post_json(
+            f"{base}/v1/messages",
+            {
+                "x-api-key": os.environ.get("ANTHROPIC_API_KEY", ""),
+                "anthropic-version": "2023-06-01",
+            },
+            {
+                "model": model or "claude-sonnet-4-5",
+                "max_tokens": 256,
+                "messages": [{"role": "user", "content": prompt}],
+            },
         )
-        return msg.content[0].text
+        return data["content"][0]["text"]
     if provider == "openai":
-        import openai
-
-        client = openai.OpenAI()
-        out = client.chat.completions.create(
-            model=model or "gpt-4o-mini",
-            messages=[{"role": "user", "content": prompt}],
-            max_tokens=256,
+        base = (
+            base_url
+            or os.environ.get("OPENAI_BASE_URL", "https://api.openai.com/v1")
+        ).rstrip("/")
+        data = _http_post_json(
+            f"{base}/chat/completions",
+            {
+                "authorization": "Bearer "
+                + os.environ.get("OPENAI_API_KEY", "")
+            },
+            {
+                "model": model or "gpt-4o-mini",
+                "messages": [{"role": "user", "content": prompt}],
+                "max_tokens": 256,
+            },
         )
-        return out.choices[0].message.content
+        return data["choices"][0]["message"]["content"]
     raise ValueError(f"unknown provider: {provider}")
 
 
@@ -121,10 +163,13 @@ def llm_scores(
     response_col: str = "response",
     provider: str = "mock",
     model: Optional[str] = None,
+    base_url: Optional[str] = None,
 ) -> DataFrame:
     """Score every row with the LLM judge via ``mapInPandas`` — Arrow
     batches in, one provider session per partition, scores out keyed by
-    ``__row_id`` for the join back."""
+    ``__row_id`` for the join back. ``base_url`` is serialized into the
+    worker closure (executor processes don't inherit driver env set
+    after JVM start)."""
 
     cols = [id_col, instruction_col, response_col]
 
@@ -137,12 +182,15 @@ def llm_scores(
                 if provider == "mock":
                     scores = _mock_judge(inst, resp)
                 else:
-                    prompt = JUDGE_PROMPT.format(
-                        instruction=inst, response=resp
-                    )
+                    # NOT str.format(): the template's literal JSON
+                    # braces ({"clarity": n, ...}) are format fields to
+                    # .format() and raise KeyError
+                    prompt = JUDGE_PROMPT.replace(
+                        "{instruction}", str(inst or "")
+                    ).replace("{response}", str(resp or ""))
                     try:
                         scores = _parse_judge_json(
-                            _call_provider(provider, model, prompt)
+                            _call_provider(provider, model, prompt, base_url)
                         )
                     except Exception:
                         # provider failure == JSON failure: pass-neutral
@@ -166,10 +214,13 @@ def with_llm_quality(
     min_score: float = 3.0,
     provider: str = "mock",
     model: Optional[str] = None,
+    base_url: Optional[str] = None,
 ) -> DataFrame:
     """Join LLM scores back and add the ``llm_quality`` pass column
     (INFO severity in the reference ruleset, ``rules.py:478-498``)."""
-    scores = llm_scores(df, id_col, provider=provider, model=model)
+    scores = llm_scores(
+        df, id_col, provider=provider, model=model, base_url=base_url
+    )
     joined = df.join(
         scores.withColumnRenamed("__row_id", id_col),
         id_col,

@@ -1,0 +1,175 @@
+"""MCP stdio wire protocol binding for the tool-call API.
+
+Implements the public Model Context Protocol stdio transport
+(modelcontextprotocol.io spec, 2025-06-18 revision): newline-delimited
+UTF-8 JSON-RPC 2.0 messages on stdin/stdout. No SDK dependency — the
+protocol surface needed for a tools server is small:
+
+- ``initialize``                → capabilities + serverInfo
+- ``notifications/initialized`` → (notification, no response)
+- ``ping``                      → {}
+- ``tools/list``                → the 11 tool descriptors
+- ``tools/call``                → dispatch to ``api.call_tool``
+
+Reference parity: ``mcp_server.py:837-844`` serves the same 11 tools
+through the MCP SDK's ``stdio_server``; results here are returned as
+one JSON text content block (the reference renders Markdown — the
+structured payload is strictly more machine-usable).
+
+Run: ``spark-submit --py-files datacheck_spark.zip -m
+datacheck_spark.mcp_stdio`` (or plain ``python -m``); the SparkSession
+is created lazily on the first ``tools/call``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Any, Dict, Optional, TextIO
+
+from datacheck_spark.api import TOOLS, call_tool
+
+PROTOCOL_VERSION = "2025-06-18"
+
+#: permissive input schemas: every tool takes a JSON object whose exact
+#: fields are documented per tool (samples / baseline / current / ...).
+_TOOL_DESCRIPTIONS = {
+    "check_data_quality": "Validate samples against a ruleset + schema; returns pass rates and per-rule results",
+    "infer_schema": "Infer a validation schema (types, bounds, enums) from samples",
+    "fix_data": "Auto-fix samples: dedup, trim, remove-empty, PII redaction",
+    "compare_datasets": "Field-wise distribution comparison of two sample sets",
+    "check_drift": "Distribution drift between baseline and current samples",
+    "check_leakage": "Train/test leakage (exact and near duplicates)",
+    "check_bias": "Group-balance bias analysis over a category field",
+    "check_coverage": "Field coverage: presence, non-empty, distinct counts",
+    "calculate_contribution": "Contribution weights (base x quality x time x scarcity)",
+    "generate_report": "Render a quality report (markdown/json/html)",
+    "diff_reports": "Diff two quality reports (arrows per metric)",
+}
+
+
+def _tool_descriptor(name: str) -> Dict[str, Any]:
+    return {
+        "name": name,
+        "description": _TOOL_DESCRIPTIONS.get(name, name),
+        "inputSchema": {"type": "object", "additionalProperties": True},
+    }
+
+
+class McpStdioServer:
+    """Blocking JSON-RPC loop over text streams (stdio by default)."""
+
+    def __init__(
+        self,
+        in_stream: Optional[TextIO] = None,
+        out_stream: Optional[TextIO] = None,
+        spark=None,
+    ):
+        self._in = in_stream or sys.stdin
+        self._out = out_stream or sys.stdout
+        self._spark = spark
+
+    def _ensure_spark(self):
+        if self._spark is None:
+            from pyspark.sql import SparkSession
+
+            self._spark = (
+                SparkSession.builder.appName("datacheck-mcp")
+                .config("spark.sql.session.timeZone", "UTC")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+        return self._spark
+
+    # -- protocol handlers -------------------------------------------------
+
+    def _handle(self, msg: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        method = msg.get("method")
+        msg_id = msg.get("id")
+        if method == "notifications/initialized":
+            return None  # notification: no response
+        if msg_id is None:
+            return None  # other notifications are ignored per spec
+        try:
+            if method == "initialize":
+                result = {
+                    "protocolVersion": PROTOCOL_VERSION,
+                    "capabilities": {"tools": {}},
+                    "serverInfo": {
+                        "name": "datacheck-spark",
+                        "version": "2.0",
+                    },
+                }
+            elif method == "ping":
+                result = {}
+            elif method == "tools/list":
+                result = {"tools": [_tool_descriptor(t) for t in TOOLS]}
+            elif method == "tools/call":
+                params = msg.get("params") or {}
+                name = params.get("name")
+                if name not in TOOLS:
+                    return self._error(msg_id, -32602, f"unknown tool: {name}")
+                payload = call_tool(
+                    self._ensure_spark(), name, params.get("arguments") or {}
+                )
+                result = {
+                    "content": [
+                        {
+                            "type": "text",
+                            "text": json.dumps(
+                                payload, ensure_ascii=False, default=str
+                            ),
+                        }
+                    ],
+                    "isError": False,
+                }
+            else:
+                return self._error(msg_id, -32601, f"method not found: {method}")
+        except Exception as exc:  # tool errors -> isError result, not crash
+            if method == "tools/call":
+                return {
+                    "jsonrpc": "2.0",
+                    "id": msg_id,
+                    "result": {
+                        "content": [{"type": "text", "text": str(exc)}],
+                        "isError": True,
+                    },
+                }
+            return self._error(msg_id, -32603, str(exc))
+        return {"jsonrpc": "2.0", "id": msg_id, "result": result}
+
+    @staticmethod
+    def _error(msg_id, code: int, message: str) -> Dict[str, Any]:
+        return {
+            "jsonrpc": "2.0",
+            "id": msg_id,
+            "error": {"code": code, "message": message},
+        }
+
+    def _send(self, msg: Dict[str, Any]) -> None:
+        self._out.write(json.dumps(msg, ensure_ascii=False) + "\n")
+        self._out.flush()
+
+    def serve_forever(self) -> None:
+        """Read newline-delimited JSON-RPC until EOF."""
+        for line in self._in:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError:
+                self._send(self._error(None, -32700, "parse error"))
+                continue
+            reply = self._handle(msg)
+            if reply is not None:
+                self._send(reply)
+
+
+def main() -> int:
+    McpStdioServer().serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

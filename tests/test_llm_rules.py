@@ -45,3 +45,109 @@ def test_with_llm_quality_gating(spark):
     out = {r["id"]: r for r in with_llm_quality(df, "id", min_score=3.0).collect()}
     assert out["good"]["llm_quality_passed"] is True
     assert out["bad"]["llm_quality_passed"] is False
+
+
+class _ProviderServer:
+    """Local HTTP server speaking the public Anthropic / OpenAI REST
+    response shapes; records request paths/headers/bodies."""
+
+    def __init__(self):
+        import http.server
+        import json as _json
+        import threading
+
+        server = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("content-length", 0))
+                body = _json.loads(self.rfile.read(n).decode())
+                server.requests.append(
+                    {
+                        "path": self.path,
+                        "headers": {k.lower(): v for k, v in self.headers.items()},
+                        "body": body,
+                    }
+                )
+                scores = '{"clarity": 5, "relevance": 4, "completeness": 4, "accuracy": 5, "overall": 5}'
+                if self.path == "/v1/messages":  # Anthropic Messages shape
+                    payload = {"content": [{"type": "text", "text": scores}]}
+                else:  # OpenAI Chat Completions shape
+                    payload = {
+                        "choices": [{"message": {"role": "assistant", "content": scores}}]
+                    }
+                data = _json.dumps(payload).encode()
+                self.send_response(200)
+                self.send_header("content-type", "application/json")
+                self.send_header("content-length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):
+                pass
+
+        self.requests = []
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+
+
+def test_anthropic_http_shape(spark):
+    """Provider plumbing against the real Anthropic Messages wire shape
+    (local server): headers, endpoint, body, and response parsing."""
+    srv = _ProviderServer()
+    try:
+        df = spark.createDataFrame(
+            [Row(id="1", instruction="Explain joins", response="A join matches rows by key.")]
+        ).coalesce(1)
+        out = with_llm_quality(
+            df, "id", provider="anthropic",
+            base_url=f"http://127.0.0.1:{srv.port}",
+        ).collect()
+        assert out[0]["overall"] == 5.0
+        assert out[0]["llm_quality_passed"] is True
+        req = srv.requests[0]
+        assert req["path"] == "/v1/messages"
+        assert "x-api-key" in req["headers"]
+        assert req["headers"]["anthropic-version"] == "2023-06-01"
+        assert req["body"]["messages"][0]["role"] == "user"
+        assert "Explain joins" in req["body"]["messages"][0]["content"]
+        assert req["body"]["max_tokens"] == 256
+    finally:
+        srv.stop()
+
+
+def test_openai_http_shape(spark):
+    srv = _ProviderServer()
+    try:
+        df = spark.createDataFrame(
+            [Row(id="1", instruction="Explain joins", response="A join matches rows by key.")]
+        ).coalesce(1)
+        out = with_llm_quality(
+            df, "id", provider="openai",
+            base_url=f"http://127.0.0.1:{srv.port}",
+        ).collect()
+        assert out[0]["overall"] == 5.0
+        req = srv.requests[0]
+        assert req["path"] == "/chat/completions"
+        assert req["headers"]["authorization"].startswith("Bearer")
+        assert req["body"]["messages"][0]["role"] == "user"
+    finally:
+        srv.stop()
+
+
+def test_provider_failure_is_pass_neutral(spark):
+    """Unreachable provider == JSON failure: overall 3.0, pass."""
+    df = spark.createDataFrame(
+        [Row(id="1", instruction="x", response="y")]
+    ).coalesce(1)
+    out = with_llm_quality(
+        df, "id", provider="anthropic",
+        base_url="http://127.0.0.1:1",  # connection refused
+    ).collect()
+    assert out[0]["overall"] == 3.0
+    assert out[0]["llm_quality_passed"] is True

@@ -1,0 +1,83 @@
+"""MCP stdio wire-protocol tests: drive the JSON-RPC loop end-to-end
+through text streams (the same code path ``python -m
+datacheck_spark.mcp_stdio`` serves on real stdio)."""
+
+import io
+import json
+
+from datacheck_spark.api import TOOLS
+from datacheck_spark.mcp_stdio import McpStdioServer
+
+
+def _serve(spark, *messages):
+    in_stream = io.StringIO(
+        "".join(json.dumps(m) + "\n" for m in messages)
+    )
+    out_stream = io.StringIO()
+    McpStdioServer(in_stream, out_stream, spark=spark).serve_forever()
+    return [json.loads(l) for l in out_stream.getvalue().splitlines()]
+
+
+def test_initialize_list_call_roundtrip(spark):
+    replies = _serve(
+        spark,
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        {
+            "jsonrpc": "2.0",
+            "id": 3,
+            "method": "tools/call",
+            "params": {
+                "name": "check_data_quality",
+                "arguments": {
+                    "samples": [
+                        {"id": "1", "text": "hello world"},
+                        {"id": "2", "text": "   "},
+                    ]
+                },
+            },
+        },
+        {"jsonrpc": "2.0", "id": 4, "method": "ping"},
+    )
+    # notification produced no reply: 4 responses for 4 requests
+    assert [r["id"] for r in replies] == [1, 2, 3, 4]
+    init = replies[0]["result"]
+    assert init["serverInfo"]["name"] == "datacheck-spark"
+    assert "tools" in init["capabilities"]
+    listed = {t["name"] for t in replies[1]["result"]["tools"]}
+    assert listed == set(TOOLS)
+    call = replies[2]["result"]
+    assert call["isError"] is False
+    payload = json.loads(call["content"][0]["text"])
+    assert payload["total_samples"] == 2
+    assert payload["failed_samples"] == 1  # the blank row
+    assert replies[3]["result"] == {}
+
+
+def test_errors(spark):
+    replies = _serve(
+        spark,
+        {"jsonrpc": "2.0", "id": 1, "method": "no/such/method"},
+        {
+            "jsonrpc": "2.0",
+            "id": 2,
+            "method": "tools/call",
+            "params": {"name": "not_a_tool", "arguments": {}},
+        },
+    )
+    assert replies[0]["error"]["code"] == -32601
+    assert replies[1]["error"]["code"] == -32602
+
+
+def test_parse_error_keeps_serving(spark):
+    in_stream = io.StringIO(
+        "this is not json\n"
+        + json.dumps({"jsonrpc": "2.0", "id": 9, "method": "ping"})
+        + "\n"
+    )
+    out = io.StringIO()
+    McpStdioServer(in_stream, out, spark=spark).serve_forever()
+    replies = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert replies[0]["error"]["code"] == -32700
+    assert replies[1]["id"] == 9
