@@ -188,14 +188,13 @@ def _non_empty(df: DataFrame, schema: ValidationSchema):
     if not cols:
         return None
     per_col = [
-        F.col(c).isNull() | (F.length(T.py_strip(F.col(c))) > 0) for c in cols
+        F.col(c).isNull() | ~T.py_blank(F.col(c)) for c in cols
     ]
     blank_cols = F.array_compact(
         F.array(
             *[
                 F.when(
-                    F.col(c).isNotNull()
-                    & (F.length(T.py_strip(F.col(c))) == 0),
+                    F.col(c).isNotNull() & T.py_blank(F.col(c)),
                     F.lit(c),
                 )
                 for c in cols
@@ -615,9 +614,7 @@ def _config_check_column(
         # None fails; blank string fails (rules.py:270-279); the
         # reference uses str.strip() → full Unicode whitespace set
         s = c.cast("string")
-        return c.isNotNull() & ~(
-            s.isNotNull() & (F.length(T.py_strip(s)) == 0)
-        )
+        return c.isNotNull() & ~(s.isNotNull() & T.py_blank(s))
 
     if check_type in ("min_length", "max_length"):
         # reference: len(value) — works for str/list/dict, raises (→
@@ -659,7 +656,7 @@ def _config_check_column(
         cond_expr = _eval_condition_column(
             cond_col, cond["operator"], cond["value"]
         )
-        target_ok = c.isNotNull() & (T.py_strip(c.cast("string")) != "")
+        target_ok = c.isNotNull() & ~T.py_blank(c.cast("string"))
         return F.when(cond_expr, target_ok).otherwise(F.lit(True))
 
     if check_type == "number_range":

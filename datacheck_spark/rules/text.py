@@ -179,6 +179,24 @@ def py_strip(col: Column) -> Column:
     return _py_strip(col)
 
 
+#: every character Python's str.strip() removes, enumerated for
+#: translate() (a char map — no regex engine in the hot path)
+PY_WHITESPACE_CHARS = (
+    " \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def py_blank(col: Column) -> Column:
+    """True iff ``value.strip() == ""`` for a non-null string — i.e. the
+    string contains ONLY Python-whitespace. Implemented with
+    ``translate`` (char map) instead of the strip regex so the fused
+    rule pass stays regex-free; exactly equivalent because
+    ``len(s.strip()) == 0`` ⟺ s has no non-whitespace character."""
+    return F.length(F.translate(col, PY_WHITESPACE_CHARS, "")) == 0
+
+
 def repetitive_flag_native(col: Column) -> Column:
     """Native (codegen) port of the reference repetition predicate
     (``text_rules.py:142-172``); True ⇒ repetitive.

@@ -205,7 +205,7 @@ def transcript_rule_defs() -> List[RuleDef]:
             "text_non_empty",
             "text non-empty",
             Severity.ERROR,
-            c.isNotNull() & (F.length(T.py_strip(c)) > 0),
+            c.isNotNull() & ~T.py_blank(c),
             F.substring(c, 1, 80),
         )
 
