@@ -108,6 +108,13 @@ it understates shuffle-network costs a real 4N-executor cluster would
 see, and overstates contention (32 threads share memory bandwidth).
 The job itself contains one narrow fused pass + three single-shuffle
 aggregations, all of which scale with partition count.
+
+Input-size sensitivity: at 8.4M turns the same job measures ~0.65
+efficiency — the suite's fixed overhead (job scheduling, driver-side
+summary collects) stops amortizing when the local[32] wall drops under
+~40s. Efficiency is a large-input property; the 10^12-turn target is
+far past the amortization knee, so the 16.7M-turn figure is the
+representative one (and still a lower bound).
 """
     out_path = ROOT / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)
