@@ -1078,15 +1078,33 @@ TRANSCRIPTS_CACHE = "/root/repo/.contract_cache/transcripts_200x10"
 
 
 def transcripts_table(spark: SparkSession) -> DataFrame:
+    """Read the transcripts fixture, generating it if absent.
+
+    The fixture file is committed to git under a FIXED name (the
+    generator is deterministic, so regeneration is byte-stable modulo
+    parquet metadata), which means the DuckDB oracle can read it
+    regardless of query/oracle execution order."""
+    import glob as _glob
     import os
+    import shutil
+    import tempfile
 
     if not os.path.exists(os.path.join(TRANSCRIPTS_CACHE, "_SUCCESS")):
         from datacheck_spark.transcripts import generate_transcripts
 
+        tmp = tempfile.mkdtemp(prefix="transcripts_", dir="/tmp")
         generate_transcripts(
             spark, n_convs=200, turns_per_conv=10
-        ).coalesce(1).write.mode("overwrite").parquet(TRANSCRIPTS_CACHE)
-    return spark.read.parquet(TRANSCRIPTS_CACHE)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        os.makedirs(TRANSCRIPTS_CACHE, exist_ok=True)
+        shutil.move(part, os.path.join(TRANSCRIPTS_CACHE, "data.parquet"))
+        with open(os.path.join(TRANSCRIPTS_CACHE, "_SUCCESS"), "w"):
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(
+        os.path.join(TRANSCRIPTS_CACHE, "data.parquet")
+    )
 
 
 _TRANSCRIPTS_GLOB = f"{TRANSCRIPTS_CACHE}/*.parquet"

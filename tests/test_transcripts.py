@@ -121,3 +121,19 @@ def test_checkpoint_resume(spark, transcripts, tmp_path):
     # rule-version bump invalidates lineage
     state3 = load_state(base, "v2", "static")
     assert state3.completed == []
+
+
+def test_contract_fixture_matches_generator(spark):
+    """The committed contract fixture parquet must equal a fresh
+    generate_transcripts run (the DuckDB oracles read the file; this
+    guards against generator drift making the fixture stale)."""
+    from datacheck_spark.contract import transcripts_table
+    from datacheck_spark.transcripts import generate_transcripts
+
+    fixture = transcripts_table(spark)
+    fresh = generate_transcripts(spark, n_convs=200, turns_per_conv=10)
+    cols = fixture.columns
+    assert sorted(cols) == sorted(fresh.columns)
+    a = sorted(map(str, fixture.collect()))
+    b = sorted(map(str, fresh.select(*cols).collect()))
+    assert a == b
