@@ -131,6 +131,51 @@ def main():
         ],
     )
 
+    # 7. k-means IVF: cell-keyed broadcast join, no cartesian product
+    from datacheck_spark.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = ivf_topk(
+        emb.where(F.col("vec_id") >= 5),
+        emb.where(F.col("vec_id") < 5),
+        k=5,
+        n_cells=8,
+        nprobe=2,
+    )
+    add(
+        "k-means IVF top-k (embeddings)",
+        ivf,
+        [
+            (
+                "cell-keyed broadcast join (no cartesian)",
+                lambda p: "BroadcastHashJoin" in p
+                and "CartesianProduct" not in p,
+            ),
+            (
+                "Arrow-vectorized cell assignment",
+                lambda p: "ArrowEvalPython" in p,
+            ),
+        ],
+    )
+
+    # 8. transcript fused pass is regex-free for the blank test
+    from datacheck_spark.transcripts import TranscriptChecker
+    tr = spark.read.parquet(
+        str(ROOT / ".contract_cache" / "transcripts_200x10" / "data.parquet")
+    )
+    t_annotated = TranscriptChecker(include_repetitive=False).annotated(tr)
+    add(
+        "transcript fused pass (7 rules, one projection)",
+        t_annotated,
+        [
+            ("no shuffle (narrow pass)", lambda p: "Exchange" not in p),
+            (
+                "blank test via translate char map (no strip regex)",
+                lambda p: "translate" in p.lower()
+                and "regexp_replace(text" not in p,
+            ),
+        ],
+    )
+
     md = ["# PLANS — physical-plan evidence for key operators",
           "",
           "Generated by `tools/explain_plans.py` (sf0.01). Invariants",
