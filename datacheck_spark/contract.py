@@ -1668,6 +1668,34 @@ def dir_scan_per_file(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_near_dup_exact",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id::VARCHAR AS id_a, b.vec_id::VARCHAR AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM e a, e b
+    WHERE a.vec_id::VARCHAR < b.vec_id::VARCHAR
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_exact(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact path (lsh_planes=0 →
+    full pairwise) — oracle-checked against DuckDB
+    list_cosine_similarity. The OR-amplified LSH path is the scale
+    variant, recall-tested in tests/test_ann_recall.py."""
+    from datacheck_spark.dedup import embedding_near_duplicates
+
+    df = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(
+        df, "embedding", "vec_id", threshold=0.4, lsh_planes=0
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> Dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -495,29 +495,38 @@ def embedding_near_duplicates(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    lsh_planes: int = 12,
+    lsh_planes: int = 8,
+    lsh_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup pairs: random-hyperplane LSH bucketing then
-    exact cosine verification within buckets.
+    """Embedding near-dup pairs: random-hyperplane LSH with
+    OR-amplification, then exact cosine verification within buckets.
 
-    The hyperplanes are derived deterministically from seeded xxhash64
-    so no Python/numpy state ships to executors. Pairs in the same
-    bucket get exact cosine; returns (id_a, id_b, cos) ≥ threshold.
-    Brute-force path: pass ``lsh_planes=0`` (full O(n²) join).
+    ``lsh_tables`` independent hash tables of ``lsh_planes`` sign bits
+    each (AND within a table, OR across tables) — a single 12-bit table
+    (the round-1 design) had recall ~0.9^12 ≈ 0.28 at cos 0.95; with
+    k=8, L=8 the miss probability per true pair is
+    (1 - 0.9^8)^8 ≈ 0.004. Hyperplanes are derived deterministically
+    from seeded xxhash64 so no Python/numpy state ships to executors.
+    Candidate pairs colliding in several tables are deduplicated BEFORE
+    the exact-cosine re-check. Brute-force path: ``lsh_planes=0``
+    (full O(n²) join).
+
+    Returns (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold.
     """
     base = df.select(
         F.col(id_col).cast("string").alias("__id"), F.col(vec_col).alias("__v")
     ).where(F.col(vec_col).isNotNull())
 
     if lsh_planes > 0:
-        # pseudo-random ±1 hyperplanes: sign of xxhash64(dim_idx, plane, seed)
-        def plane_bit(p: int) -> Column:
+        # pseudo-random ±1 hyperplanes: sign of xxhash64(dim_idx, plane, seed);
+        # plane ids are disjoint across tables (t * lsh_planes + p)
+        def plane_bit(plane_id: int) -> Column:
             signed = F.zip_with(
                 F.col("__v"),
                 F.sequence(F.lit(0), F.size("__v") - 1),
                 lambda x, i: F.when(
-                    F.xxhash64(i, F.lit(p), F.lit(seed)) % 2 == 0, x
+                    F.xxhash64(i, F.lit(plane_id), F.lit(seed)) % 2 == 0, x
                 ).otherwise(-x),
             )
             proj = F.aggregate(
@@ -525,18 +534,40 @@ def embedding_near_duplicates(
             )
             return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
 
-        bucket = F.lit(0)
-        for p in range(lsh_planes):
-            bucket = bucket * 2 + plane_bit(p)
-        base = base.withColumn("__bkt", bucket)
-        join_cond = ["__bkt"]
-        a = base.select(
-            "__bkt", F.col("__id").alias("id_a"), F.col("__v").alias("va")
+        def table_bucket(t: int) -> Column:
+            bucket = F.lit(0)
+            for p in range(lsh_planes):
+                bucket = bucket * 2 + plane_bit(t * lsh_planes + p)
+            return bucket
+
+        tabled = base.select(
+            "__id",
+            "__v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            table_bucket(t).alias("bkt"),
+                        )
+                        for t in range(lsh_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("__id", "__v", "tb.tbl", "tb.bkt")
+        a = tabled.select(
+            "tbl", "bkt", F.col("__id").alias("id_a"), F.col("__v").alias("va")
         )
-        b = base.select(
-            "__bkt", F.col("__id").alias("id_b"), F.col("__v").alias("vb")
+        b = tabled.select(
+            "tbl", "bkt", F.col("__id").alias("id_b"), F.col("__v").alias("vb")
         )
-        joined = a.join(b, join_cond).where(F.col("id_a") < F.col("id_b"))
+        joined = (
+            a.join(b, ["tbl", "bkt"])
+            .where(F.col("id_a") < F.col("id_b"))
+            # a pair colliding in several tables must pay the exact
+            # cosine only once
+            .dropDuplicates(["id_a", "id_b"])
+        )
     else:
         a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"))
         b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"))

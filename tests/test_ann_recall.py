@@ -140,3 +140,38 @@ class TestSimHashExactness:
             ).collect()
         }
         assert banded == truth
+
+
+class TestEmbeddingLshRecall:
+    def test_or_amplified_lsh_vs_exact(self, spark):
+        """OR-amplified hyperplane LSH (k=8 planes x L=8 tables) must
+        recover >= 0.95 of exact cosine>=0.9 pairs on clustered data —
+        the single-table AND-only design recovered ~0.28."""
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((8, 32))
+        rows = []
+        for i in range(240):
+            c = i % 8
+            v = centers[c] + 0.1 * rng.standard_normal(32)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).cache()
+        from datacheck_spark.dedup import embedding_near_duplicates
+
+        truth = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(
+                df, "embedding", "vec_id", threshold=0.9, lsh_planes=0
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(
+                df, "embedding", "vec_id", threshold=0.9
+            ).collect()
+        }
+        assert truth, "clustered fixture must contain cos>=0.9 pairs"
+        recall = len(truth & lsh) / len(truth)
+        assert recall >= 0.95, f"embedding LSH recall = {recall:.3f}"
+        assert lsh <= truth  # exact re-check: no false positives
