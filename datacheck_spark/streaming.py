@@ -65,6 +65,41 @@ def windowed_pass_rates(
     )
 
 
+def streaming_session_stats(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization via ``F.session_window`` — the
+    incremental analogue of ``sessions.session_stats``: per-key
+    gap-based sessions whose window closes once the watermark passes
+    ``gap_minutes`` of silence. State is bounded by the watermark
+    (closed sessions are emitted and dropped — the 10^12-turn-stream
+    property the batch lag+cumsum idiom can't give you)."""
+    gap = f"{int(gap_minutes * 60)} seconds"
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            key_col,
+            "session_start",
+            "session_end",
+            "n_events",
+            (
+                F.unix_timestamp("session_end")
+                - F.unix_timestamp("session_start")
+            ).alias("duration_sec"),
+        )
+    )
+
+
 def stateful_turn_order_check(
     annotated: DataFrame,
     ts_col: str = "ts",

@@ -109,3 +109,64 @@ def test_within_batch_out_of_order_and_duplicates(spark, tmp_path):
     assert r["regressed_turns"] == 1  # the 1 after 2
     assert r["duplicate_turns"] == 1  # the repeated 2
     assert r["max_turn"] == 2
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window sessionization: two bursts of conv D separated by
+    a >30min gap must land in two sessions with correct counts, and the
+    batch lag+cumsum sessionizer must agree."""
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    schema = "conv_id string, turn_idx int, ts string"
+    rows = [
+        ("D", 0, "2026-01-01 00:00:00"), ("D", 1, "2026-01-01 00:05:00"),
+        ("D", 2, "2026-01-01 00:10:00"),
+        # 50-minute gap -> new session
+        ("D", 3, "2026-01-01 01:00:00"), ("D", 4, "2026-01-01 01:02:00"),
+        ("E", 0, "2026-01-01 00:00:00"),
+    ]
+    spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    from datacheck_spark.streaming import streaming_session_stats
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, ts timestamp")
+        .parquet(str(src / "*"))
+    )
+    out = streaming_session_stats(stream, key_col="conv_id", gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows_out = []
+        while time.time() < deadline:
+            rows_out = spark.sql("SELECT * FROM sessions_out").collect()
+            if len(rows_out) >= 3:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    by_key = sorted(
+        ((r["conv_id"], r["n_events"], r["duration_sec"]) for r in rows_out)
+    )
+    assert by_key == [("D", 2, 120), ("D", 3, 600), ("E", 1, 0)]
+
+    # batch twin agrees on the same rows
+    from datacheck_spark.sessions import session_stats
+
+    batch = spark.read.parquet(str(src / "*"))
+    bsess = sorted(
+        (r["conv_id"], r["n_events"], r["duration_sec"])
+        for r in session_stats(
+            batch, key_col="conv_id", gap_minutes=30
+        ).collect()
+    )
+    assert bsess == by_key
