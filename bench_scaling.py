@@ -115,6 +115,9 @@ summary collects) stops amortizing when the local[32] wall drops under
 ~40s. Efficiency is a large-input property; the 10^12-turn target is
 far past the amortization knee, so the 16.7M-turn figure is the
 representative one (and still a lower bound).
+
+Resumability: see BENCH/RESUME.md (kill-and-rerun identity evidence,
+`tools/resume_drive.py`).
 """
     out_path = ROOT / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)
