@@ -248,10 +248,20 @@ def repetitive_flag_native(col: Column) -> Column:
     )
 
 
-def repetitive_clean(col: Column, native: bool = True) -> Column:
-    """True iff the column is not excessively repetitive. ``native``
-    uses the codegen implementation (hot path); ``native=False`` the
-    pandas UDF exact port."""
+def repetitive_clean(col: Column, native: bool = False) -> Column:
+    """True iff the column is not excessively repetitive.
+
+    Default is the Arrow-batched pandas UDF — the byte-exact reference
+    port — because it is MEASURED ~6x faster than the Column-expression
+    variant on the 8.36M-turn bench corpus (3.7s vs 23.5s full-table):
+    the higher-order-function tree (split → per-segment strip regex →
+    array_sort → aggregate-with-struct, twice) is CodegenFallback, and
+    its interpreted evaluation costs ~370µs per gated row, while
+    Python's re.split + Counter costs ~4µs per row vectorized over
+    Arrow batches. "UDFs are the slow path" inverts here: the
+    per-element interpreted expression machinery is the slower runtime.
+    ``native=True`` keeps the pure-Column variant (no Arrow dependency;
+    parity-fuzzed against the UDF and the reference)."""
     if native:
         return ~repetitive_flag_native(col)
     return ~F.coalesce(repetitive_flag(col), F.lit(False))
