@@ -29,10 +29,15 @@ def entry(spark: SparkSession) -> DataFrame:
     # materialize the transcripts contract cache up front (the driver
     # smoke-runs entry() first, so the parquet exists before any
     # oracle/query ordering in the correctness stage)
-    from datacheck_spark.contract import ensure_dirscan_files, transcripts_table
+    from datacheck_spark.contract import (
+        ensure_dirscan_files,
+        ensure_file_fixtures,
+        transcripts_table,
+    )
 
     transcripts_table(spark)
     ensure_dirscan_files()
+    ensure_file_fixtures()
 
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     engine = ValidationEngine(schema=ValidationSchema())

@@ -1696,6 +1696,140 @@ def embedding_near_dup_exact(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+#: standalone reader fixtures (committed): an envelope .json and a CSV
+FILES_CACHE = "/root/repo/.contract_cache/files"
+
+
+def ensure_file_fixtures() -> str:
+    import json as _json
+    import os
+
+    os.makedirs(FILES_CACHE, exist_ok=True)
+    env = os.path.join(FILES_CACHE, "envelope.json")
+    if not os.path.exists(env):
+        with open(env, "w", encoding="utf-8") as f:
+            _json.dump(
+                {
+                    "samples": [
+                        {"id": f"s{i}", "text": f"sample text {i}", "score": i % 5}
+                        for i in range(40)
+                    ],
+                    "schema": {"fields": [{"name": "text", "type": "text"}]},
+                },
+                f,
+                indent=2,  # pretty-printed: multi-line on purpose
+            )
+    csvp = os.path.join(FILES_CACHE, "records.csv")
+    if not os.path.exists(csvp):
+        with open(csvp, "w", encoding="utf-8") as f:
+            f.write("id,amount,label\n")
+            for i in range(30):
+                f.write(f"r{i},{i * 10},{'even' if i % 2 == 0 else 'odd'}\n")
+    return FILES_CACHE
+
+
+@_q(
+    "sample_hash_docs",
+    """
+    SELECT doc_id FROM documents
+    WHERE CAST(('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+          <= CAST(0.1 * 4294967295 AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_docs(spark, sf_dir):
+    """Deterministic sampling (op 5, scale path): md5-hash-threshold —
+    shuffle-free, engine-portable (the oracle reproduces the EXACT row
+    set), predicate pushes into the scan."""
+    from datacheck_spark.sources import sample_deterministic
+
+    df = _t(spark, sf_dir, "documents")
+    return sample_deterministic(df, "doc_id", rate=0.1).select(
+        "doc_id"
+    ).orderBy("doc_id")
+
+
+@_q(
+    "required_fields_events",
+    """
+    SELECT count(*)::BIGINT AS total,
+           count(*)::BIGINT AS failed,
+           'nonexistent_field' AS missing
+    FROM events
+    """,
+)
+def required_fields_events(spark, sf_dir):
+    """required_fields (op 8) through the real engine: a declared
+    required field absent from the frame fails every row statically
+    (reference rules.py:361-372 key-presence semantics)."""
+    from datacheck_spark.engine import ValidationEngine, RULE_PREFIX
+    from datacheck_spark.schema import FieldSpec, ValidationSchema
+
+    df = _t(spark, sf_dir, "events")
+    schema = ValidationSchema(
+        fields=[
+            FieldSpec(name="event_type", type="text", required=True),
+            FieldSpec(name="nonexistent_field", type="text", required=True),
+        ]
+    )
+    engine = ValidationEngine(schema=schema)
+    rules = [
+        r for r in engine.compile(df) if r.rule_id == "required_fields"
+    ]
+    annotated = engine.annotate(df, rules=rules)
+    return annotated.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~F.col(RULE_PREFIX + "required_fields")).cast("long")).alias(
+            "failed"
+        ),
+        F.first(rules[0].observed).alias("missing"),
+    )
+
+
+@_q(
+    "csv_reader_fixture",
+    f"""
+    SELECT id, amount, label
+    FROM read_csv('{FILES_CACHE}/records.csv', all_varchar = true)
+    ORDER BY id
+    """,
+)
+def csv_reader_fixture(spark, sf_dir):
+    """CSV reader (op 2): all-string typing preserved (reference
+    csv.DictReader semantics) — every column must come back VARCHAR on
+    both sides."""
+    from datacheck_spark.sources import load_data
+
+    ensure_file_fixtures()
+    df, _schema = load_data(spark, f"{FILES_CACHE}/records.csv")
+    return df.select("id", "amount", "label").orderBy("id")
+
+
+@_q(
+    "envelope_reader_fixture",
+    f"""
+    SELECT u.id AS id, u.text AS text, u.score::BIGINT AS score
+    FROM (
+      SELECT unnest(samples) AS u
+      FROM read_json_auto('{FILES_CACHE}/envelope.json')
+    )
+    ORDER BY id
+    """,
+)
+def envelope_reader_fixture(spark, sf_dir):
+    """JSON envelope reader (op 3): a pretty-printed
+    ``{{samples: [...], schema: ...}}`` file through load_data — the
+    embedded sample list becomes rows; DuckDB unnests the same file."""
+    from datacheck_spark.sources import load_data
+
+    ensure_file_fixtures()
+    df, schema = load_data(spark, f"{FILES_CACHE}/envelope.json")
+    assert schema, "envelope schema sidecar must be surfaced"
+    return df.select(
+        "id", "text", F.col("score").cast("long").alias("score")
+    ).orderBy("id")
+
+
 def queries() -> Dict[str, QueryFn]:
     return dict(_QUERIES)
 

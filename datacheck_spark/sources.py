@@ -228,6 +228,33 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def sample_deterministic(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic hash-threshold sampling: keep rows where
+    ``md5(seed || id)`` (first 8 hex digits as an integer) falls under
+    ``rate`` of the 32-bit space.
+
+    Unlike ``orderBy(rand).limit`` this is shuffle-free, stable across
+    runs/engines (md5 is portable — the DuckDB oracle reproduces the
+    exact row set), and composable at 10^12 rows: the predicate pushes
+    into the scan and every executor decides membership locally."""
+    threshold = int(rate * 0xFFFFFFFF)
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.where(bucket <= threshold)
+
+
 def sample_df(
     df: DataFrame,
     sample_count: Optional[int] = None,

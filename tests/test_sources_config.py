@@ -196,3 +196,19 @@ def test_preset_rulesets(spark):
                          detect_anomalies=False, compute_distribution=False)
     assert res3.rule_results["annotation_task_id"]["failed_samples"] == ["2"]
     assert "non_empty" not in res3.rule_results  # disabled in preset
+
+
+def test_sample_deterministic(spark):
+    from datacheck_spark.sources import sample_deterministic
+
+    df = spark.range(10000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in sample_deterministic(df, "k", 0.2).collect()}
+    s2 = {r["k"] for r in sample_deterministic(df, "k", 0.2).collect()}
+    assert s1 == s2  # deterministic
+    assert 0.15 < len(s1) / 10000 < 0.25  # near the requested rate
+    bigger = {r["k"] for r in sample_deterministic(df, "k", 0.5).collect()}
+    assert s1 <= bigger  # monotone in rate (same hash, higher threshold)
+    other_seed = {
+        r["k"] for r in sample_deterministic(df, "k", 0.2, seed=7).collect()
+    }
+    assert other_seed != s1
