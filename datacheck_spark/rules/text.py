@@ -129,8 +129,24 @@ def _repetitive_one(value) -> bool:
 
 @pandas_udf(BooleanType())
 def repetitive_flag(texts: pd.Series) -> pd.Series:
-    """Arrow-batched repetition detector; True ⇒ repetitive."""
-    return texts.map(_repetitive_one).astype(bool)
+    """Arrow-batched repetition detector; True ⇒ repetitive.
+
+    Vectorized pre-gate (C-speed pandas str ops): the predicate can
+    only fire for strings of length ≥ 50 that have ≥ 2 sentence
+    separators (sentence mode needs ≥ 3 segments) or length > 100
+    (window mode), so the per-row Python port runs on the ~1 % of rows
+    that pass the gate instead of the whole batch."""
+    import numpy as np
+
+    s = texts.fillna("")
+    n = s.str.len()
+    gate = (n >= 50) & ((s.str.count(r"[。！？\n.!?]") >= 2) | (n > 100))
+    vals = np.zeros(len(s), dtype=bool)
+    idx = np.flatnonzero(gate.to_numpy())
+    if idx.size:
+        arr = s.to_numpy()
+        vals[idx] = [_repetitive_one(arr[i]) for i in idx]
+    return pd.Series(vals, index=texts.index)
 
 
 def _max_multiplicity(arr: Column) -> Column:

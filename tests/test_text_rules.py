@@ -139,3 +139,28 @@ class TestNgrams:
         ).collect()
         assert rows[0]["j"] == pytest.approx(1.0)
         assert rows[1]["j"] == pytest.approx(0.0)
+
+
+def test_repetitive_udf_gate_parity(spark):
+    """The vectorized pre-gate in repetitive_flag must be a NECESSARY
+    condition: UDF output == per-row reference port on boundary cases
+    (len 49/50/100/101, exactly 1 vs 2 separators, CJK separators)."""
+    from pyspark.sql import functions as F
+
+    seg = "abcdef"  # len 6 > 5
+    cases = [
+        None, "", "x" * 49, "x" * 50, "x" * 100, "x" * 101,
+        ("y" * 10 + ". ") * 10,             # many separators, repeated
+        (seg + ". ") * 3 + "z" * 30,        # 3 identical segments
+        (seg + "。") * 6,                    # CJK separator
+        seg + ". " + seg + " tail " + "q" * 40,  # 1 separator only
+        "This is repeated. " * 50,
+        "ab. " * 30,                        # segments too short (<=5)
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "t string").coalesce(1)
+    rows = df.select(
+        "t",
+        F.coalesce(T.repetitive_flag(F.col("t")), F.lit(False)).alias("udf"),
+    ).collect()
+    for r in rows:
+        assert r["udf"] == T._repetitive_one(r["t"]), repr(r["t"])[:60]
