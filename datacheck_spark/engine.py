@@ -65,6 +65,7 @@ class CheckResult:
     sampled: bool = False
     sampled_count: int = 0
     original_count: int = 0
+    extras: Dict[str, Any] = dc_field(default_factory=dict)
 
     def to_dict(self) -> Dict[str, Any]:
         """The canonical machine-readable contract
@@ -186,15 +187,20 @@ class ValidationEngine:
         max_failed_ids: int = 10000,
         per_rule_failed_ids: int = 10,
         collect_failed_ids: bool = True,
+        extra_aggs: Optional[Dict[str, Column]] = None,
     ) -> CheckResult:
         """One aggregation job over the annotated frame → CheckResult.
 
         Severity triage per ``checker.py:126-137``: every failed rule
         increments its severity counter; only ERROR failures fail the
-        sample.
+        sample. ``extra_aggs`` piggy-back additional aggregate
+        expressions onto the SAME job (no extra scan); their values land
+        in ``result.extras`` keyed by name.
         """
         result = CheckResult()
         aggs = [F.count(F.lit(1)).alias("__total")]
+        for name, expr in (extra_aggs or {}).items():
+            aggs.append(expr.alias(f"x_{name}"))
         for r in rules:
             aggs.append(
                 F.sum((~F.col(RULE_PREFIX + r.rule_id)).cast("long")).alias(
@@ -203,6 +209,8 @@ class ValidationEngine:
             )
         aggs.append(F.sum(F.col(HAS_ERROR).cast("long")).alias("__failed"))
         row = annotated.agg(*aggs).collect()[0]
+        for name in (extra_aggs or {}):
+            result.extras[name] = row[f"x_{name}"]
 
         total = row["__total"]
         result.total_samples = total

@@ -342,8 +342,23 @@ class TranscriptChecker:
             slim = slim.persist()
         annotated = slim
         try:
+            # the orphan-tool referential check broadcasts a tiny
+            # vocabulary, so it folds into the SAME summary aggregation
+            # as a conditional sum — one job fewer per run; the general
+            # anti-join (referential.orphan_count) remains the path for
+            # large dimension tables
+            orphan_expr = F.sum(
+                (
+                    F.col("tool").isNotNull()
+                    & ~F.col("tool").isin(self.tool_vocab)
+                ).cast("long")
+            )
             base = self.engine.summarize(
-                annotated, rules, id_col=None, collect_failed_ids=False
+                annotated,
+                rules,
+                id_col=None,
+                collect_failed_ids=False,
+                extra_aggs={"orphan_tools": orphan_expr},
             )
             report = TranscriptCheckReport(
                 total_turns=base.total_samples,
@@ -365,17 +380,20 @@ class TranscriptChecker:
             )
 
             if tools_df is None:
-                spark = df.sparkSession
-                tools_df = spark.createDataFrame(
-                    [(t,) for t in self.tool_vocab], ["tool_name"]
+                # vocabulary-sized dimension: the orphan count came out
+                # of the summary agg above (no separate join job)
+                report.orphan_tools = int(
+                    base.extras.get("orphan_tools") or 0
                 )
-            report.orphan_tools = R.orphan_count(
-                annotated.where(F.col("tool").isNotNull()),
-                "tool",
-                tools_df,
-                "tool_name",
-                broadcast_dim=True,
-            )
+            else:
+                # arbitrary dimension table: broadcast/SMJ anti-join
+                report.orphan_tools = R.orphan_count(
+                    annotated.where(F.col("tool").isNotNull()),
+                    "tool",
+                    tools_df,
+                    "tool_name",
+                    broadcast_dim=True,
+                )
 
             if detect_anomalies:
                 raw = A.detect_anomalies(
