@@ -1830,6 +1830,73 @@ def envelope_reader_fixture(spark, sf_dir):
     ).orderBy("id")
 
 
+@_q(
+    "llm_scores_docs",
+    """
+    WITH d AS (
+      SELECT doc_id::VARCHAR AS id,
+             substr(text, 1, 8 + (doc_id % 10)::INT) AS instruction,
+             substr(text, 1, 20 + (doc_id % 120)::INT) AS response
+      FROM documents WHERE doc_id < 300
+    ), toks AS (
+      SELECT id, instruction, response,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(trim(instruction)), '\\s+'), x -> x <> '')) AS it,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(trim(response)), '\\s+'), x -> x <> '')) AS rt
+      FROM d
+    ), scored AS (
+      SELECT id,
+             CASE WHEN length(instruction) >= 10 THEN 5.0 ELSE 2.0 END AS clarity,
+             2.0 + least(3.0,
+               CASE WHEN len(it) > 0
+                    THEN len(list_intersect(it, rt))::DOUBLE / len(it) * 6.0
+                    ELSE 0.0 END) AS relevance,
+             least(5.0, 1.0 + length(response) / 40.0) AS completeness,
+             3.0 AS accuracy
+      FROM toks
+    )
+    SELECT id,
+           round(clarity, 4) AS clarity,
+           round(relevance, 4) AS relevance,
+           round(completeness, 4) AS completeness,
+           round(accuracy, 4) AS accuracy,
+           round_even((clarity + relevance + completeness + accuracy) / 4.0, 0) AS overall
+    FROM scored ORDER BY id
+    """,
+)
+def llm_scores_docs(spark, sf_dir):
+    """LLM-judge enrichment (op 23): the REAL mapInPandas batched
+    scoring path with the deterministic mock provider over derived
+    instruction/response pairs — every scoring heuristic (clarity,
+    token-overlap relevance, length completeness, banker's-rounded
+    overall) value-checked by a DuckDB reimplementation."""
+    from datacheck_spark.llm_rules import llm_scores
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.expr("substr(text, 1, cast(8 + doc_id % 10 as int))").alias(
+                "instruction"
+            ),
+            F.expr("substr(text, 1, cast(20 + doc_id % 120 as int))").alias(
+                "response"
+            ),
+        )
+    )
+    scores = llm_scores(d, "id", provider="mock")
+    return scores.select(
+        F.col("__row_id").alias("id"),
+        F.round("clarity", 4).alias("clarity"),
+        F.round("relevance", 4).alias("relevance"),
+        F.round("completeness", 4).alias("completeness"),
+        F.round("accuracy", 4).alias("accuracy"),
+        F.col("overall").alias("overall"),
+    ).orderBy("id")
+
+
 def queries() -> Dict[str, QueryFn]:
     return dict(_QUERIES)
 
