@@ -164,6 +164,36 @@ def generate_transcripts(
     )
 
 
+def write_transcripts_partitioned(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write a transcripts table with the north-rule physical layout:
+    partitioned by (conv_bucket, ts_day) — the parquet stand-in for
+    Iceberg ``bucket(N, conv_id)`` + ``days(ts)`` partition transforms
+    (an Iceberg catalog makes this a ``partitionedBy(bucket(...),
+    days(ts))`` writeTo with no other change).
+
+    Every conversation lands wholly inside one bucket partition, so
+    per-conversation operators (uniqueness, sessionization, rollups)
+    prune to a bucket slice, and day partitions give drift/backfill
+    jobs time pruning."""
+    # always (re)compute from conv_id so the layout honours n_buckets
+    # even when the frame carries a conv_bucket built for a different N
+    out = df.withColumn(
+        "conv_bucket",
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
+    ).withColumn("ts_day", F.to_date("ts"))
+    (
+        out.repartition(n_buckets, "conv_bucket")
+        .write.mode(mode)
+        .partitionBy("conv_bucket", "ts_day")
+        .parquet(path)
+    )
+
+
 # --- flagship pipeline ----------------------------------------------------
 
 
