@@ -126,7 +126,9 @@ representative one (and still a lower bound).
 Resumability: see BENCH/RESUME.md (kill-and-rerun identity evidence,
 `tools/resume_drive.py`).
 """
-    out_path = ROOT / "BENCH" / "BASELINE.md"
+    # write the single-run report to its own file: BENCH/BASELINE.md is
+    # the curated multi-size series + analysis and must not be stomped
+    out_path = ROOT / "BENCH" / "SCALING_RUN.md"
     out_path.parent.mkdir(exist_ok=True)
     out_path.write_text(md, encoding="utf-8")
     print(json.dumps({

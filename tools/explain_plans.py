@@ -176,6 +176,24 @@ def main():
         ],
     )
 
+    # 9. salted two-phase aggregation (skew handling): two agg pairs
+    from datacheck_spark.sessions import conversation_stats
+    salted = conversation_stats(tr, salt_buckets=8)
+    add(
+        "salted conversation rollup (two-phase agg)",
+        salted,
+        [
+            (
+                "two aggregation phases (partial+final x2)",
+                lambda p: p.count("HashAggregate") >= 3
+                or p.count("ObjectHashAggregate") >= 2,
+            ),
+            # formatted output prints each node twice (tree + detail):
+            # <=4 occurrences == <=2 real exchanges (salt then key)
+            ("two exchanges (salt phase, key phase)", lambda p: p.count("Exchange") <= 4),
+        ],
+    )
+
     md = ["# PLANS — physical-plan evidence for key operators",
           "",
           "Generated by `tools/explain_plans.py` (sf0.01). Invariants",
