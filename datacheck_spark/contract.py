@@ -1897,6 +1897,66 @@ def llm_scores_docs(spark, sf_dir):
     ).orderBy("id")
 
 
+@_q(
+    "near_dedup_keep_best_docs",
+    """
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             list_distinct(list_transform(
+               generate_series(1, length(lower(trim(text))) - 2),
+               i -> substr(lower(trim(text)), i, 3))) AS grams
+      FROM documents WHERE doc_id < 200
+    ), pairs AS (
+      SELECT a.doc_id::VARCHAR AS id_a, b.doc_id::VARCHAR AS id_b
+      FROM g a, g b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      -- transitive closure: every (node, reachable) pair
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    ), comp AS (
+      SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+    ), ranked AS (
+      SELECT d.doc_id, c.component,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, d.doc_id::VARCHAR
+             ) AS rk
+      FROM g d JOIN comp c ON d.doc_id::VARCHAR = c.id
+    )
+    SELECT doc_id FROM g
+    WHERE doc_id::VARCHAR NOT IN (SELECT id FROM comp)
+    UNION ALL
+    SELECT doc_id FROM ranked WHERE rk = 1
+    ORDER BY doc_id
+    """,
+)
+def near_dedup_keep_best_docs(spark, sf_dir):
+    """Keep-best near-dedup (training-pipeline op): connected
+    components over exact n-gram-Jaccard pairs, keep the longest doc
+    per component (ties → smallest id) — the min-label-propagation CC
+    is oracle-checked against a DuckDB recursive-CTE transitive
+    closure."""
+    from datacheck_spark.dedup import (
+        near_dedup_keep_best,
+        near_duplicate_pairs_exact,
+    )
+
+    df = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = near_duplicate_pairs_exact(df, ["text"], "doc_id", threshold=0.8)
+    kept = near_dedup_keep_best(df, pairs, "doc_id", "n_chars")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def queries() -> Dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -578,3 +578,107 @@ def embedding_near_duplicates(
         "id_b",
         cosine_similarity(F.col("va"), F.col("vb")).alias("cos"),
     ).where(F.col("cos") >= threshold)
+
+
+# --- keep-best near-dedup (connected components) --------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an (id_a, id_b) pair table via
+    iterative min-label propagation.
+
+    Each round every node adopts the minimum label among itself and its
+    neighbors; convergence takes O(diameter) rounds (≤ ``max_iter``,
+    checked with one cheap count per round). Lineage is truncated with
+    ``localCheckpoint`` each round so the plan doesn't grow
+    quadratically. Returns (id, component) where component is the
+    minimum id reachable from the node — the standard large-graph CC
+    idiom when no graph library is available.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nmin"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.col("nmin").isNotNull()
+                    & (F.col("nmin") < F.col("component"))
+                ).alias("__changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.where(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate removal keeping the best representative — the
+    training-data dedup shape: given near-dup ``(id_a, id_b)`` pairs
+    (from the exact, MinHash-LSH, SimHash, or embedding path), group
+    them into connected components and keep ONLY the highest-``score``
+    member per component (ties → smallest id). Rows in no pair are kept
+    untouched.
+
+    One CC label propagation + one per-component arg-max window; at
+    10^12 rows the pair table (LSH output) is tiny relative to the
+    corpus, so the joins ride on the small side.
+    """
+    comp = connected_components(pairs, max_iter=max_iter)
+    sid = F.col(id_col).cast("string")
+    tagged = df.join(
+        comp.withColumnRenamed("id", "__cc_id"),
+        sid == F.col("__cc_id"),
+        "left",
+    )
+    from pyspark.sql import Window
+
+    # split: unpaired rows (component null) pass through untouched —
+    # putting them in the window would create one giant null partition
+    # (a skew bomb at 10^12 rows); only the (small) paired set ranks
+    rest = tagged.where(F.col("component").isNull()).drop(
+        "__cc_id", "component"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(sid)
+    )
+    best = (
+        tagged.where(F.col("component").isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__cc_id", "component", "__rk")
+    )
+    return rest.unionByName(best)

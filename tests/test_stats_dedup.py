@@ -146,3 +146,34 @@ def test_dedup_exact_without_order(spark):
     )
     out = D.dedup_exact(df, ["t"])
     assert out.count() == 2
+
+
+def test_connected_components_and_keep_best(spark):
+    """CC via min-label propagation + keep-best representative:
+    a 4-node chain (a-b, b-c, c-d) is ONE component; two pairs (x-y)
+    another; singleton z untouched. Keep the highest score per
+    component, ties to smallest id."""
+    from pyspark.sql import Row
+
+    from datacheck_spark.dedup import (
+        connected_components,
+        near_dedup_keep_best,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+    df = spark.createDataFrame(
+        [Row(k="a", s=1), Row(k="b", s=9), Row(k="c", s=9), Row(k="d", s=2),
+         Row(k="x", s=5), Row(k="y", s=5), Row(k="z", s=0)]
+    )
+    kept = sorted(
+        r["k"] for r in near_dedup_keep_best(df, pairs, "k", "s").collect()
+    )
+    # chain: b and c tie at 9 -> smallest id b; x/y tie -> x; z untouched
+    assert kept == ["b", "x", "z"]
