@@ -35,6 +35,7 @@ class FixResult:
     duplicates_removed: int = 0
     empty_removed: int = 0
     trimmed_count: int = 0
+    near_duplicates_removed: int = 0
     pii_redacted_count: int = 0
 
 
@@ -70,6 +71,10 @@ class DataFixer:
         trim: bool = True,
         remove_empty: bool = True,
         strip_pii: bool = False,
+        near_dedup: bool = False,
+        near_threshold: float = 0.8,
+        id_col: Optional[str] = None,
+        score_col: Optional[str] = None,
         data_cols: Optional[Sequence[str]] = None,
         order_col: Optional[str] = None,
     ) -> Tuple[DataFrame, FixResult]:
@@ -93,6 +98,36 @@ class DataFixer:
             fixed = dedup_exact(fixed, data_cols, order_col=order_col)
             after = fixed.count()
             result.duplicates_removed = before - after
+
+        if near_dedup:
+            # beyond-reference scale path: MinHash-LSH candidate pairs
+            # → connected components → keep the best representative
+            # (highest score_col; default: longest concatenated text)
+            from datacheck_spark.dedup import (
+                near_dedup_keep_best,
+                near_duplicate_pairs_lsh,
+            )
+
+            key = id_col or ("id" if "id" in fixed.columns else None)
+            if key is None:
+                raise ValueError("near_dedup requires an id column")
+            text_cols = [c for c in _string_cols(fixed) if c in data_cols]
+            before = fixed.count()
+            if score_col is None:
+                fixed = fixed.withColumn(
+                    "__nd_score",
+                    F.length(F.concat_ws(" ", *[F.col(c) for c in text_cols])),
+                )
+                score = "__nd_score"
+            else:
+                score = score_col
+            pairs = near_duplicate_pairs_lsh(
+                fixed, text_cols, key, threshold=near_threshold
+            )
+            fixed = near_dedup_keep_best(fixed, pairs, key, score)
+            if score_col is None:
+                fixed = fixed.drop("__nd_score")
+            result.near_duplicates_removed = before - fixed.count()
 
         scols = [c for c in _string_cols(fixed) if c in data_cols]
 

@@ -39,6 +39,11 @@ def load_data(
     if suffix == ".csv":
         # all-string typing preserved (reference DictReader semantics)
         return spark.read.csv(path, header=True, inferSchema=False), {}
+    if suffix == ".parquet":
+        return spark.read.parquet(path), {}
+    if suffix == ".orc":
+        # columnar beyond-reference format (Spark-native, typed)
+        return spark.read.orc(path), {}
     # .json: list or envelope; the envelope/schema sidecar is read on
     # the driver (it is metadata-scale, not data-scale)
     with open(path, "r", encoding="utf-8") as f:

@@ -84,3 +84,30 @@ def test_pipeline_order_and_totals(spark):
     vals = {r["id"]: r["text"] for r in fixed.collect()}
     assert vals["1"] == "dup"
     assert vals["4"] == "keep [EMAIL]"
+
+
+def test_fix_near_dedup_keep_best(spark):
+    """Opt-in near-dedup in the fixer: near-identical texts collapse to
+    the longest member; distinct texts survive."""
+    from pyspark.sql import Row
+
+    from datacheck_spark.fixer import DataFixer
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        Row(id="a", text=base),
+        Row(id="b", text=base + " zz"),               # near-dup of a (J~0.93), longer
+        Row(id="c", text="completely different content about spark plans"),
+    ]
+    df = spark.createDataFrame(rows)
+    fixed, res = DataFixer().fix(
+        df,
+        dedup=False,
+        trim=False,
+        remove_empty=False,
+        near_dedup=True,
+        near_threshold=0.8,
+    )
+    kept = sorted(r["id"] for r in fixed.collect())
+    assert kept == ["b", "c"]
+    assert res.near_duplicates_removed == 1

@@ -212,3 +212,22 @@ def test_sample_deterministic(spark):
         r["k"] for r in sample_deterministic(df, "k", 0.2, seed=7).collect()
     }
     assert other_seed != s1
+
+
+def test_load_orc_and_parquet(spark, tmp_path):
+    from datacheck_spark.sources import load_data
+
+    df = spark.createDataFrame(
+        [("1", "hello", 3.5), ("2", "world", 4.5)],
+        "id string, text string, score double",
+    )
+    orc = str(tmp_path / "t.orc")
+    pq = str(tmp_path / "t.parquet")
+    df.write.orc(orc)
+    df.write.parquet(pq)
+    for path in (orc, pq):
+        back, schema = load_data(spark, path)
+        assert schema == {}
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+        # typed columnar read: score stays double (unlike CSV all-string)
+        assert dict(back.dtypes)["score"] == "double"
