@@ -72,6 +72,8 @@ def call_tool(
             trim=args.get("trim", True),
             remove_empty=args.get("remove_empty", True),
             strip_pii=args.get("strip_pii", False),
+            near_dedup=args.get("near_dedup", False),
+            near_threshold=args.get("near_threshold", 0.8),
         )
         # bounded response: API inputs are request-sized, but cap the
         # echo anyway so a large fix job can't blow up the driver /

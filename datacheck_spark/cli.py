@@ -102,6 +102,8 @@ def cmd_fix(args) -> int:
         trim=not args.no_trim,
         remove_empty=not args.no_remove_empty,
         strip_pii=args.strip_pii,
+        near_dedup=args.near_dedup,
+        near_threshold=args.near_threshold,
     )
     SRC.write_jsonl(fixed, args.output)
     print(json.dumps(res.__dict__, ensure_ascii=False))
@@ -426,6 +428,8 @@ def main(argv=None) -> int:
     f.add_argument("--no-trim", action="store_true")
     f.add_argument("--no-remove-empty", action="store_true")
     f.add_argument("--strip-pii", action="store_true")
+    f.add_argument("--near-dedup", action="store_true")
+    f.add_argument("--near-threshold", type=float, default=0.8)
     f.set_defaults(fn=cmd_fix)
 
     i = sub.add_parser("infer")
