@@ -1957,6 +1957,37 @@ def near_dedup_keep_best_docs(spark, sf_dir):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+@_q(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+          <= CASE source
+               WHEN 'src0' THEN CAST(1.0 * 4294967295 AS BIGINT)
+               WHEN 'src1' THEN CAST(0.5 * 4294967295 AS BIGINT)
+               WHEN 'src2' THEN CAST(0.1 * 4294967295 AS BIGINT)
+               ELSE CAST(0.02 * 4294967295 AS BIGINT)
+             END
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Stratified deterministic sampling (training-data rebalancing):
+    per-source rates over the portable md5 threshold — exact row set
+    oracle-checked."""
+    from datacheck_spark.sources import stratified_sample_deterministic
+
+    df = _t(spark, sf_dir, "documents")
+    out = stratified_sample_deterministic(
+        df,
+        "doc_id",
+        "source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        default_rate=0.02,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def queries() -> Dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -260,6 +260,41 @@ def sample_deterministic(
     return df.where(bucket <= threshold)
 
 
+def stratified_sample_deterministic(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (training-data rebalancing:
+    e.g. downsample web text, keep all code). Same md5-threshold scheme
+    as :func:`sample_deterministic`, with the threshold chosen per
+    ``strata_col`` value — shuffle-free, portable, and the strata
+    mapping is a broadcast-sized CASE expression."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    thr = None
+    for value, rate in rates.items():
+        t = int(rate * 0xFFFFFFFF)
+        cond = F.col(strata_col) == value
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        thr.otherwise(int(default_rate * 0xFFFFFFFF))
+        if thr is not None
+        else F.lit(int(default_rate * 0xFFFFFFFF))
+    )
+    return df.where(bucket <= thr)
+
+
 def sample_df(
     df: DataFrame,
     sample_count: Optional[int] = None,

@@ -231,3 +231,27 @@ def test_load_orc_and_parquet(spark, tmp_path):
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
         # typed columnar read: score stays double (unlike CSV all-string)
         assert dict(back.dtypes)["score"] == "double"
+
+
+def test_stratified_sample_deterministic(spark):
+    from datacheck_spark.sources import (
+        sample_deterministic,
+        stratified_sample_deterministic,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(6000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"),
+    )
+    out = stratified_sample_deterministic(
+        df, "k", "g", rates={"g0": 1.0, "g1": 0.3}, default_rate=0.0
+    )
+    by_g = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert by_g.get("g0") == 2000            # rate 1.0 keeps all
+    assert 450 < by_g.get("g1", 0) < 750     # ~30% of 2000
+    assert "g2" not in by_g                  # default 0.0 drops all
+    # per-stratum membership equals the flat sampler at the same rate
+    flat = {r["k"] for r in sample_deterministic(df.where(F.col("g") == "g1"), "k", 0.3).collect()}
+    strat = {r["k"] for r in out.where(F.col("g") == "g1").collect()}
+    assert flat == strat
