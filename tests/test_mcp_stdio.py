@@ -81,3 +81,43 @@ def test_parse_error_keeps_serving(spark):
     replies = [json.loads(l) for l in out.getvalue().splitlines()]
     assert replies[0]["error"]["code"] == -32700
     assert replies[1]["id"] == 9
+
+
+def test_every_tool_dispatches(spark):
+    """Every advertised tool must execute through tools/call with
+    minimal arguments and return a non-error result."""
+    samples = [{"id": "1", "text": "hello world", "score": 3}]
+    args_by_tool = {
+        "check_data_quality": {"samples": samples},
+        "infer_schema": {"samples": samples},
+        "fix_data": {"samples": samples},
+        "compare_datasets": {"samples_a": samples, "samples_b": samples},
+        "check_drift": {"baseline": samples, "current": samples},
+        "check_leakage": {"train": samples, "test": samples,
+                          "key_fields": ["id"], "text_field": "text"},
+        "check_bias": {"samples": samples, "label_field": "score",
+                       "text_field": "text"},
+        "check_coverage": {"samples": samples},
+        "calculate_contribution": {
+            "responses": [{"task_id": "t1", "score": 3,
+                           "annotated_at": "2026-01-01T00:00:00",
+                           "text": "x"}]
+        },
+        "generate_report": {"samples": samples},
+        "diff_reports": {
+            "report_a": {"summary": {"pass_rate": 0.9}},
+            "report_b": {"summary": {"pass_rate": 0.8}},
+        },
+    }
+    assert set(args_by_tool) == set(TOOLS)
+    msgs = [
+        {"jsonrpc": "2.0", "id": i, "method": "tools/call",
+         "params": {"name": t, "arguments": a}}
+        for i, (t, a) in enumerate(args_by_tool.items(), start=1)
+    ]
+    replies = _serve(spark, *msgs)
+    assert len(replies) == len(TOOLS)
+    for (t, _), r in zip(args_by_tool.items(), replies):
+        assert "result" in r, (t, r)
+        assert r["result"]["isError"] is False, (t, r["result"])
+        json.loads(r["result"]["content"][0]["text"])  # valid JSON payload
