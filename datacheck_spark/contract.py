@@ -1988,6 +1988,46 @@ def stratified_sample_docs(spark, sf_dir):
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+@_q(
+    "bucket_verdicts_transcripts",
+    f"""
+    WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_GLOB}')),
+    flags AS (
+      SELECT conv_bucket,
+             NOT (conv_id IS NOT NULL AND turn_idx IS NOT NULL)
+             OR NOT (turn_idx IS NULL OR turn_idx >= 0)
+             OR NOT (role IS NOT NULL AND role IN ('user','assistant','system','tool'))
+             OR NOT (text IS NOT NULL
+                     AND length(regexp_replace(text, '^{_WS_RE2}+|{_WS_RE2}+$', '', 'g')) > 0)
+             AS has_error
+      FROM t
+    )
+    SELECT conv_bucket,
+           count(*)::BIGINT AS total,
+           sum(has_error::INT)::BIGINT AS failed,
+           round((count(*) - sum(has_error::INT))::DOUBLE / count(*), 6) AS pass_rate,
+           ((count(*) - sum(has_error::INT))::DOUBLE / count(*)) >= 0.95 AS passed
+    FROM flags GROUP BY conv_bucket ORDER BY conv_bucket
+    """,
+)
+def bucket_verdicts_transcripts(spark, sf_dir):
+    """Per-partition pass/fail verdicts (north-star contract line):
+    ERROR-rule pass rate per conv_id hash bucket with a threshold
+    verdict, oracle-checked against a DuckDB reimplementation of the
+    four ERROR rules over the same fixture parquet."""
+    from datacheck_spark.transcripts import (
+        TranscriptChecker,
+        per_bucket_verdicts,
+    )
+
+    df = transcripts_table(spark)
+    checker = TranscriptChecker(include_repetitive=False)
+    annotated = checker.annotated(df)
+    return per_bucket_verdicts(annotated, threshold=0.95).orderBy(
+        "conv_bucket"
+    )
+
+
 def queries() -> Dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -194,6 +194,39 @@ def write_transcripts_partitioned(
     )
 
 
+def per_bucket_verdicts(
+    annotated: DataFrame,
+    threshold: float = 0.95,
+    bucket_col: str = "conv_bucket",
+) -> DataFrame:
+    """Per-partition pass/fail verdicts (the north-star contract:
+    "emits ... exact per-partition pass/fail verdicts"): one row per
+    conv_id hash bucket with totals, ERROR-failure count, pass rate,
+    and the boolean verdict against ``threshold``. One partial+final
+    aggregation over the already-annotated frame — at 10^12 turns this
+    is the per-partition quality scoreboard the checkpoint manifest
+    stores per bucket group."""
+    return (
+        annotated.groupBy(bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col(HAS_ERROR).cast("long")).alias("failed"),
+        )
+        .select(
+            bucket_col,
+            "total",
+            "failed",
+            F.round(
+                (F.col("total") - F.col("failed")) / F.col("total"), 6
+            ).alias("pass_rate"),
+            (
+                (F.col("total") - F.col("failed")) / F.col("total")
+                >= threshold
+            ).alias("passed"),
+        )
+    )
+
+
 # --- flagship pipeline ----------------------------------------------------
 
 
