@@ -93,6 +93,12 @@ SECONDARY = [
     "token_count_docs",
     "fingerprint_docs",
     "embedding_topk",
+    "sessionize_events",
+    "asof_join_events",
+    "schema_inference_docs",
+    "compute_stats_lineitem",
+    "sample_hash_docs",
+    "bucket_verdicts_transcripts",
 ]
 
 
