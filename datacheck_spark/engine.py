@@ -179,6 +179,72 @@ class ValidationEngine:
 
     # -- summary ----------------------------------------------------------
 
+    def per_rule_failed_ids_df(
+        self,
+        annotated: DataFrame,
+        rules: List[CompiledRule],
+        id_col: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """First ``k`` failing ids per rule, ``(rule_id, ids)`` rows.
+
+        Scale-bounded: a per-partition take-k (``mapInPandas`` carrying
+        only a ``rule_id -> count`` dict, vectorized per Arrow batch)
+        shrinks the exploded failure stream to at most
+        ``num_partitions * k`` rows per rule BEFORE the final
+        aggregation, so no reducer ever buffers a rule's full failure
+        set. ``__ord`` (monotonically_increasing_id: partition index in
+        the high bits) keeps first-k deterministic in row order —
+        identical output to an unbounded collect_list-then-slice.
+        Partitions stop reading early once every rule has its k ids.
+        """
+        rule_ids = [r.rule_id for r in rules]
+        failed_arr = F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.col(RULE_PREFIX + r.rule_id), F.lit(r.rule_id))
+                    for r in rules
+                ]
+            )
+        )
+
+        def _take_k_per_partition(batches):
+            counts: Dict[str, int] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                prior = pdf["rule_id"].map(counts).fillna(0).astype("int64")
+                within = pdf.groupby("rule_id").cumcount()
+                kept = pdf[(prior.values + within.values) < k]
+                for rid, c in pdf["rule_id"].value_counts().items():
+                    counts[rid] = counts.get(rid, 0) + int(c)
+                if len(kept):
+                    yield kept
+                if len(counts) == len(rule_ids) and all(
+                    counts[rid] >= k for rid in rule_ids
+                ):
+                    return  # every rule has its k ids: stop reading
+
+        exploded = annotated.select(
+            F.monotonically_increasing_id().alias("__ord"),
+            F.col(id_col).cast("string").alias("__id"),
+            F.explode(failed_arr).alias("rule_id"),
+        )
+        bounded = exploded.mapInPandas(
+            _take_k_per_partition,
+            schema="__ord long, __id string, rule_id string",
+        )
+        return bounded.groupBy("rule_id").agg(
+            F.transform(
+                F.slice(
+                    F.sort_array(F.collect_list(F.struct("__ord", "__id"))),
+                    1,
+                    k,
+                ),
+                lambda s: s["__id"],
+            ).alias("ids")
+        )
+
     def summarize(
         self,
         annotated: DataFrame,
@@ -240,31 +306,19 @@ class ValidationEngine:
             }
 
         if collect_failed_ids and id_col and id_col in annotated.columns:
-            # per-rule first-k failing ids + overall failing ids in one
-            # explode+groupBy job (reference caps at 10, checker.py:154)
-            failed_arr = F.array_compact(
-                F.array(
-                    *[
-                        F.when(
-                            ~F.col(RULE_PREFIX + r.rule_id), F.lit(r.rule_id)
-                        )
-                        for r in rules
-                    ]
-                )
-            )
-            per_rule = (
-                annotated.select(
-                    F.col(id_col).cast("string").alias("__id"),
-                    F.explode(failed_arr).alias("rule_id"),
-                )
-                .groupBy("rule_id")
-                .agg(
-                    F.slice(
-                        F.collect_list("__id"), 1, per_rule_failed_ids
-                    ).alias("ids")
-                )
-                .collect()
-            )
+            # per-rule first-k failing ids (reference caps at 10,
+            # checker.py:154). Bounded at scale: a per-partition take-k
+            # (mapInPandas, vectorized, carries only a rule->count dict)
+            # shrinks the stream to <= num_partitions * k rows per rule
+            # BEFORE the final aggregation, so no reducer ever buffers a
+            # rule's full failure set (the old collect_list-then-slice
+            # held ~total_failures/num_rules ids per agg buffer).
+            # __ord = monotonically_increasing_id preserves row order
+            # (partition index in the high bits), keeping first-k
+            # deterministic and identical to the unbounded version.
+            per_rule = self.per_rule_failed_ids_df(
+                annotated, rules, id_col, k=per_rule_failed_ids
+            ).collect()
             for pr in per_rule:
                 if pr["rule_id"] in result.rule_results:
                     result.rule_results[pr["rule_id"]]["failed_samples"] = pr[

@@ -147,3 +147,46 @@ def test_check_result_contract_shape(spark):
         "near_duplicates", "anomaly_count",
     ):
         assert key in d
+
+
+def test_failed_ids_bounded_at_scale(spark):
+    """per_rule_failed_ids_df must pre-limit per partition (MapInPandas)
+    before the final agg — no reducer buffers a rule's full failure set
+    — and still return the deterministic first-k in row order on a
+    multi-partition frame with a high failure rate."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .repartition(16)
+        .select(
+            F.col("id").cast("string").alias("id"),
+            # half the rows blank -> non_empty fails on ~100k rows
+            F.when(F.col("id") % 2 == 0, F.lit("")).otherwise(
+                F.lit("valid instruction text")
+            ).alias("instruction"),
+            F.lit("a fine response").alias("response"),
+            F.lit(2).alias("score"),
+        )
+    )
+    engine = ValidationEngine(schema=SCHEMA)
+    rules = engine.compile(df)
+    annotated = engine.annotate(df, rules=rules)
+    bounded = engine.per_rule_failed_ids_df(annotated, rules, "id", k=10)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bounded.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan, "per-partition take-k missing from plan"
+
+    res = engine.summarize(annotated, rules, id_col="id")
+    ids = res.rule_results["non_empty"]["failed_samples"]
+    assert len(ids) == 10
+    # first-k in row order: all from the earliest rows of the earliest
+    # partitions, and every one an even id (the failing half)
+    assert all(int(i) % 2 == 0 for i in ids)
+    assert res.rule_results["non_empty"]["failed"] == n // 2

@@ -194,6 +194,43 @@ def main():
         ],
     )
 
+    # 10. per-rule failed-ids: bounded per-partition take-k, never an
+    # unbounded collect_list over a rule's whole failure set
+    rules = engine.compile(docs.select("doc_id", "text"))
+    add(
+        "per-rule failed ids (bounded take-k)",
+        engine.per_rule_failed_ids_df(
+            engine.annotate(docs.select("doc_id", "text"), rules=rules),
+            rules,
+            "doc_id",
+            k=10,
+        ),
+        [
+            (
+                "per-partition pre-limit (MapInPandas) before final agg",
+                lambda p: "MapInPandas" in p,
+            ),
+            (
+                # formatted plans print root-first, so the final agg
+                # appears ABOVE its MapInPandas input in the text
+                "no unbounded collect_list: agg input is the bounded stream",
+                lambda p: "MapInPandas" in p
+                and (
+                    "ObjectHashAggregate" in p or "SortAggregate" in p
+                )
+                and min(
+                    i
+                    for i in (
+                        p.find("ObjectHashAggregate"),
+                        p.find("SortAggregate"),
+                    )
+                    if i >= 0
+                )
+                < p.index("MapInPandas"),
+            ),
+        ],
+    )
+
     md = ["# PLANS — physical-plan evidence for key operators",
           "",
           "Generated by `tools/explain_plans.py` (sf0.01). Invariants",
