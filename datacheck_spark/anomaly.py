@@ -15,8 +15,11 @@ Spark plan: two jobs total regardless of column count —
     interpolation as the reference);
 (2) one agg counting outliers for every column against the broadcast
     scalar bounds.
-At 10^12 rows swap ``exact_percentiles=False`` to use
-``percentile_approx`` (Greenwald-Khanna sketch) — same two-job shape.
+The exact/sketch choice is size-aware by default: exact
+linear-interpolation percentiles (reference + oracle parity) up to
+``AUTO_EXACT_ROWS`` rows, ``percentile_approx`` (Greenwald-Khanna
+sketch, bounded aggregation state) above — same two-job shape either
+way. Callers can still force a side with ``exact_percentiles=True/False``.
 """
 
 from __future__ import annotations
@@ -28,6 +31,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, NumericType, StringType
 
 MIN_SAMPLES = 10  # anomaly.py:13
+
+# Size-aware exact->sketch switch: Spark's exact ``percentile`` is an
+# ObjectHashAggregate that materializes every value in the aggregation
+# buffer, so auto mode (exact_percentiles=None) uses it only up to this
+# many rows — comfortably in-memory on one executor and bit-compatible
+# with the DuckDB quantile_cont oracles at test scale — and flips to
+# percentile_approx (Greenwald-Khanna sketch, bounded state) above it.
+AUTO_EXACT_ROWS = 100_000
 
 
 def _target_columns(
@@ -59,11 +70,24 @@ def _target_columns(
 def compute_stats_df(
     df: DataFrame,
     targets: List[tuple],
-    exact_percentiles: bool = True,
+    exact_percentiles: Optional[bool] = None,
+    total: Optional[int] = None,
 ) -> Dict[str, Dict[str, float]]:
-    """One agg pass: {field_key: {mean,std,median,q1,q3,iqr,count}}."""
+    """One agg pass: {field_key: {mean,std,median,q1,q3,iqr,count}}.
+
+    ``exact_percentiles=None`` (the default) auto-selects: exact
+    linear-interpolation percentiles up to ``AUTO_EXACT_ROWS`` rows
+    (reference parity, oracle-checkable), Greenwald-Khanna sketches
+    above (bounded aggregation state at 10^12 rows). Pass ``total``
+    when the caller already knows the row count to skip the probe
+    (a metadata-only count on parquet sources).
+    """
     if not targets:
         return {}
+    if exact_percentiles is None:
+        if total is None:
+            total = df.count()
+        exact_percentiles = total <= AUTO_EXACT_ROWS
     pct = (
         (lambda c: F.percentile(c, F.lit([0.25, 0.5, 0.75])))
         if exact_percentiles
@@ -120,7 +144,7 @@ def detect_anomalies(
     zscore_threshold: float = 3.0,
     key_cols: Optional[Sequence[str]] = None,
     max_keys: int = 100,
-    exact_percentiles: bool = True,
+    exact_percentiles: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """Detect outliers in every numeric/string-length field
     (``anomaly.py:96-164``).
@@ -140,7 +164,7 @@ def detect_anomalies(
     if not targets:
         return {}
 
-    stats = compute_stats_df(df, targets, exact_percentiles)
+    stats = compute_stats_df(df, targets, exact_percentiles, total=total)
 
     # Outlier predicate per field against broadcast scalar bounds.
     preds: List[tuple] = []  # (field_key, predicate, field_type)

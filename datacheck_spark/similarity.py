@@ -72,6 +72,7 @@ def brute_force_topk(
 def _fit_centroids(
     corpus: DataFrame,
     vec_col: str,
+    id_col: str,
     n_cells: int,
     seed: int,
     sample_size: int,
@@ -81,14 +82,27 @@ def _fit_centroids(
     sample (driver-side numpy — centroids are metadata-scale: the
     training sample is capped at ``sample_size`` rows regardless of
     corpus size, so this never scans more than one bounded job).
-    Returns a unit-normalized (n_cells, dim) ndarray."""
+
+    The sample is drawn by ordering on ``xxhash64(id)`` — a
+    deterministic pseudo-random shuffle, independent of partition
+    layout (a bare ``limit`` picks whichever partitions answer first,
+    so centroids could differ across runs). ``orderBy + limit``
+    compiles to TakeOrderedAndProject: each partition keeps its
+    ``sample_size`` smallest hashes, no full sort. Returns a
+    unit-normalized (n_cells, dim) ndarray — possibly empty when the
+    corpus has no valid vectors (callers must guard).
+    """
+    v = F.col(vec_col)
     sample = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .where(F.col("v").isNotNull() & (F.size("v") > 0))
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .where(v.isNotNull() & (F.size(v) > 0))
+        .orderBy(F.xxhash64(F.col("i").cast("string")), F.col("i"))
         .limit(sample_size)
         .collect()
     )
     X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    if len(X) == 0:
+        return X.reshape(0, 0)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     X = X / norms
@@ -139,7 +153,15 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    C = _fit_centroids(corpus, vec_col, n_cells, seed, sample_size, max_iter)
+    C = _fit_centroids(
+        corpus, vec_col, id_col, n_cells, seed, sample_size, max_iter
+    )
+    if len(C) == 0:
+        # no valid corpus vectors: exact path returns the correctly
+        # typed empty result without touching the centroid machinery
+        return brute_force_topk(
+            corpus, queries, vec_col, id_col, query_id_col, k
+        )
     nprobe = min(nprobe, len(C))
 
     def _mat(series):

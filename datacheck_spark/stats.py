@@ -215,7 +215,9 @@ def _infer_type_name(dt) -> str:
 
 
 def infer_schema(
-    df: DataFrame, enum_max_uniques: int = 10, approx_distinct: bool = False
+    df: DataFrame,
+    enum_max_uniques: int = 10,
+    approx_distinct: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """Infer a validation schema (``checker.py:590-674``).
 
@@ -223,10 +225,23 @@ def infer_schema(
     numeric min/max, distinct counts; then one tiny follow-up job
     collecting exact value sets only for enum candidates (≤ 10 distinct
     numerics, ``checker.py:664-667``).
+
+    ``approx_distinct=None`` (default) is size-aware: exact
+    ``countDistinct`` up to ``anomaly.AUTO_EXACT_ROWS`` rows (oracle
+    parity at test scale), HyperLogLog sketches above it (bounded
+    state at 10^12 rows). The row count needed for the switch is the
+    ``total`` this function already computes. Enum detection stays
+    correct in sketch mode: HLL error (~2%) cannot pull a >10-distinct
+    column under the candidate bar at scale, and candidates are then
+    confirmed with an exact ``collect_set``.
     """
     total = df.count()
     if total == 0:
         return {"fields": {}, "sample_count": 0}
+    if approx_distinct is None:
+        from datacheck_spark.anomaly import AUTO_EXACT_ROWS
+
+        approx_distinct = total > AUTO_EXACT_ROWS
 
     dtypes = _dtype_map(df)
     distinct = (
