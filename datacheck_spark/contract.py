@@ -41,6 +41,30 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+# Golden-value oracles: four queries are deterministic (seeded
+# xxhash64 signatures, committed media bytes, fixed k-means seed) but
+# not re-expressible in DuckDB SQL. Their expected outputs are
+# committed as single-file parquet under .contract_cache/golden/
+# (regenerate with ``python tools/make_goldens.py`` after an
+# intentional change), and the oracle is simply DuckDB reading that
+# file — giving them the same rows+schema+value-hash check as every
+# SQL oracle. Pinned to the correctness gate's sf0.01 inputs
+# (media_features is sf-independent); tools/check_contract.py treats
+# them as rows-only at any other scale factor.
+GOLDEN_DIR = "/root/repo/.contract_cache/golden"
+GOLDEN_PINNED_SF = "sf0.01"
+GOLDEN_QUERIES = (
+    "minhash_near_dup_docs",
+    "simhash_docs",
+    "ivf_topk_embeddings",
+    "media_features",
+)
+
+
+def _golden(name: str) -> str:
+    return f"SELECT * FROM '{GOLDEN_DIR}/{name}.parquet'"
+
+
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -751,7 +775,7 @@ def ngram_jaccard_docs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@_q("minhash_near_dup_docs", None)
+@_q("minhash_near_dup_docs", _golden("minhash_near_dup_docs"))
 def minhash_near_dup_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidates (scale path of op 26; banding +
     exact Jaccard verification). Rows-only check (hash-seed specific)."""
@@ -763,7 +787,7 @@ def minhash_near_dup_docs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@_q("simhash_docs", None)
+@_q("simhash_docs", _golden("simhash_docs"))
 def simhash_docs(spark, sf_dir):
     """SimHash near-dup pairs (training-data dedup variant). Rows-only
     (xxhash64-specific signatures); max_hamming=3 keeps the 4×16-bit
@@ -918,7 +942,7 @@ def bpeish_token_count_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@_q("ivf_topk_embeddings", None)
+@_q("ivf_topk_embeddings", _golden("ivf_topk_embeddings"))
 def ivf_topk_embeddings(spark, sf_dir):
     """IVF (hyperplane-cell) approximate top-k similarity search —
     scale path of the ANN op. Rows-only (cell seeds are engine-side)."""
@@ -932,7 +956,7 @@ def ivf_topk_embeddings(spark, sf_dir):
     )
 
 
-@_q("media_features", None)
+@_q("media_features", _golden("media_features"))
 def media_features(spark, sf_dir):
     """Multimodal: synthetic media table with REAL PNG/BMP/WAV payloads
     → Arrow-batched mapInPandas decode + feature extraction (stdlib

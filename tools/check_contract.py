@@ -64,6 +64,13 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # golden-value oracles are pinned to the correctness gate's sf —
+    # at any other scale factor fall back to a rows-only check
+    from datacheck_spark import contract as _contract
+
+    if Path(sf_dir).name != _contract.GOLDEN_PINNED_SF:
+        for g in _contract.GOLDEN_QUERIES:
+            oracles.pop(g, None)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
