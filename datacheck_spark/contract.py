@@ -1757,7 +1757,7 @@ def ensure_file_fixtures() -> str:
     """
     SELECT doc_id FROM documents
     WHERE CAST(('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
-          <= CAST(0.1 * 4294967295 AS BIGINT)
+          <= CAST(floor(0.1 * 4294967295) AS BIGINT)
     ORDER BY doc_id
     """,
 )
@@ -1987,10 +1987,10 @@ def near_dedup_keep_best_docs(spark, sf_dir):
     SELECT doc_id, source FROM documents
     WHERE CAST(('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
           <= CASE source
-               WHEN 'src0' THEN CAST(1.0 * 4294967295 AS BIGINT)
-               WHEN 'src1' THEN CAST(0.5 * 4294967295 AS BIGINT)
-               WHEN 'src2' THEN CAST(0.1 * 4294967295 AS BIGINT)
-               ELSE CAST(0.02 * 4294967295 AS BIGINT)
+               WHEN 'src0' THEN CAST(floor(1.0 * 4294967295) AS BIGINT)
+               WHEN 'src1' THEN CAST(floor(0.5 * 4294967295) AS BIGINT)
+               WHEN 'src2' THEN CAST(floor(0.1 * 4294967295) AS BIGINT)
+               ELSE CAST(floor(0.02 * 4294967295) AS BIGINT)
              END
     ORDER BY doc_id
     """,

@@ -38,6 +38,17 @@ Reply with JSON only: {"clarity": n, "relevance": n, "completeness": n,
 Instruction: {instruction}
 Response: {response}"""
 
+def _render_judge_prompt(inst, resp) -> str:
+    """Concatenate the static template segments around the values —
+    each placeholder is substituted exactly once and the inserted data
+    is never rescanned, so a response containing the literal
+    '{instruction}' (or an instruction containing '{response}') cannot
+    corrupt the judge prompt the way chained str.replace did."""
+    head, _, rest = JUDGE_PROMPT.partition("{instruction}")
+    mid, _, tail = rest.partition("{response}")
+    return head + str(inst or "") + mid + str(resp or "") + tail
+
+
 SCORE_SCHEMA = StructType(
     [
         StructField("__row_id", StringType(), False),
@@ -185,9 +196,7 @@ def llm_scores(
                     # NOT str.format(): the template's literal JSON
                     # braces ({"clarity": n, ...}) are format fields to
                     # .format() and raise KeyError
-                    prompt = JUDGE_PROMPT.replace(
-                        "{instruction}", str(inst or "")
-                    ).replace("{response}", str(resp or ""))
+                    prompt = _render_judge_prompt(inst, resp)
                     try:
                         scores = _parse_judge_json(
                             _call_provider(provider, model, prompt, base_url)

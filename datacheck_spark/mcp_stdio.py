@@ -30,6 +30,10 @@ from typing import Any, Dict, Optional, TextIO
 from datacheck_spark.api import TOOLS, call_tool
 
 PROTOCOL_VERSION = "2025-06-18"
+# Older spec revisions this server also speaks: initialize echoes the
+# client's requested version when it is one of these (per the MCP
+# version-negotiation rules), else answers with the latest.
+SUPPORTED_PROTOCOL_VERSIONS = ("2025-06-18", "2025-03-26", "2024-11-05")
 
 #: permissive input schemas: every tool takes a JSON object whose exact
 #: fields are documented per tool (samples / baseline / current / ...).
@@ -92,8 +96,15 @@ class McpStdioServer:
             return None  # other notifications are ignored per spec
         try:
             if method == "initialize":
+                requested = (msg.get("params") or {}).get(
+                    "protocolVersion"
+                )
                 result = {
-                    "protocolVersion": PROTOCOL_VERSION,
+                    "protocolVersion": (
+                        requested
+                        if requested in SUPPORTED_PROTOCOL_VERSIONS
+                        else PROTOCOL_VERSION
+                    ),
                     "capabilities": {"tools": {}},
                     "serverInfo": {
                         "name": "datacheck-spark",

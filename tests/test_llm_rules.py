@@ -151,3 +151,19 @@ def test_provider_failure_is_pass_neutral(spark):
     ).collect()
     assert out[0]["overall"] == 3.0
     assert out[0]["llm_quality_passed"] is True
+
+
+def test_prompt_assembly_placeholder_injection():
+    """Data containing the literal placeholders must appear verbatim in
+    the prompt — chained str.replace expanded '{response}' occurring
+    inside the instruction (ADVICE r2)."""
+    from datacheck_spark.llm_rules import _render_judge_prompt
+
+    p = _render_judge_prompt(
+        "evil {response} marker", "resp with {instruction} inside"
+    )
+    assert "Instruction: evil {response} marker" in p
+    assert "Response: resp with {instruction} inside" in p
+    # exactly one substitution each: values appear once, template tail intact
+    assert p.count("evil {response} marker") == 1
+    assert p.count("resp with {instruction} inside") == 1

@@ -121,3 +121,18 @@ def test_every_tool_dispatches(spark):
         assert "result" in r, (t, r)
         assert r["result"]["isError"] is False, (t, r["result"])
         json.loads(r["result"]["content"][0]["text"])  # valid JSON payload
+
+
+def test_initialize_echoes_supported_client_version(spark):
+    """Version negotiation: the server echoes a client-requested
+    revision it supports, and answers with its latest for unknown
+    revisions (ADVICE r2)."""
+    replies = _serve(
+        spark,
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+         "params": {"protocolVersion": "2024-11-05"}},
+        {"jsonrpc": "2.0", "id": 2, "method": "initialize",
+         "params": {"protocolVersion": "1999-01-01"}},
+    )
+    assert replies[0]["result"]["protocolVersion"] == "2024-11-05"
+    assert replies[1]["result"]["protocolVersion"] == "2025-06-18"

@@ -177,3 +177,20 @@ def test_connected_components_and_keep_best(spark):
     )
     # chain: b and c tie at 9 -> smallest id b; x/y tie -> x; z untouched
     assert kept == ["b", "x", "z"]
+
+
+def test_connected_components_long_chain(spark):
+    """A 600-node path (diameter ~600) must collapse to one component
+    within the default max_iter=20 — pointer jumping gives O(log d)
+    convergence where plain min-label propagation needed O(d) rounds
+    and silently split the chain (ADVICE r2)."""
+    from datacheck_spark.dedup import connected_components
+
+    n = 600
+    pairs = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i+1:04d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    ).repartition(8)
+    comp = connected_components(pairs)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == n
