@@ -90,6 +90,38 @@ def cmd_check(args) -> int:
     return gate(result, threshold=args.threshold, strict=args.strict)
 
 
+def cmd_validate(args) -> int:
+    """Validate data against a DataRecipe analysis directory
+    (reference ``cli.py:178-236``): schema from the analysis dir,
+    default data resolution (synthetic → samples), report written into
+    ``12_质检报告/``, threshold/strict gating."""
+    from pathlib import Path
+
+    from datacheck_spark.datarecipe import (
+        REPORT_SUBDIR,
+        check_from_datarecipe,
+    )
+    from datacheck_spark.report import gate, save_report, to_markdown
+
+    spark = _spark("datacheck-validate", args.master)
+    print(f"validating {args.analysis_dir}...")
+    result = check_from_datarecipe(spark, args.analysis_dir, args.data)
+    if not result.success:
+        print(f"validation failed: {result.error}", file=sys.stderr)
+        return 1
+
+    output = args.output
+    if output is None:
+        out_dir = Path(args.analysis_dir) / REPORT_SUBDIR
+        out_dir.mkdir(exist_ok=True)
+        ext = {"markdown": "md", "json": "json", "html": "html"}[args.format]
+        output = str(out_dir / f"quality_report.{ext}")
+    save_report(result, output, args.format, title="数据验证报告")
+    print(f"report saved: {output}")
+    print(to_markdown(result, title="数据验证报告"))
+    return gate(result, threshold=args.threshold, strict=args.strict)
+
+
 def cmd_fix(args) -> int:
     from datacheck_spark import sources as SRC
     from datacheck_spark.fixer import DataFixer
@@ -420,6 +452,20 @@ def main(argv=None) -> int:
     c.add_argument("--sample-rate", type=float, default=None)
     c.add_argument("-o", "--output")
     c.set_defaults(fn=cmd_check)
+
+    v = sub.add_parser("validate")
+    v.add_argument("analysis_dir")
+    v.add_argument("-d", "--data", default=None)
+    v.add_argument("-o", "--output", default=None)
+    v.add_argument(
+        "-f",
+        "--format",
+        choices=["markdown", "json", "html"],
+        default="markdown",
+    )
+    v.add_argument("--threshold", type=float, default=0.5)
+    v.add_argument("--strict", action="store_true")
+    v.set_defaults(fn=cmd_validate)
 
     f = sub.add_parser("fix")
     f.add_argument("data")

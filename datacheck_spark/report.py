@@ -149,7 +149,10 @@ warnings {result.warning_count}, info {result.info_count}</p>
 
 
 def save_report(
-    result: CheckResult, output_path: str, fmt: Optional[str] = None
+    result: CheckResult,
+    output_path: str,
+    fmt: Optional[str] = None,
+    title: str = "Data Quality Report",
 ) -> None:
     """Save MD/JSON/HTML by extension (``report.py:503-521``)."""
     from pathlib import Path
@@ -158,9 +161,9 @@ def save_report(
     fmt = fmt or p.suffix.lstrip(".").lower() or "json"
     p.parent.mkdir(parents=True, exist_ok=True)
     if fmt in ("md", "markdown"):
-        p.write_text(to_markdown(result), encoding="utf-8")
+        p.write_text(to_markdown(result, title=title), encoding="utf-8")
     elif fmt in ("html", "htm"):
-        p.write_text(to_html(result), encoding="utf-8")
+        p.write_text(to_html(result, title=title), encoding="utf-8")
     else:
         p.write_text(
             json.dumps(to_json_report(result), indent=2, ensure_ascii=False),

@@ -87,3 +87,76 @@ def test_watch_cli_rechecks_on_change(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     # initial check + at least one re-check after the modification
     assert out.count("checked") >= 2
+
+
+def _make_analysis_dir(tmp_path, with_schema=True, with_synthetic=True,
+                       with_samples=True):
+    base = tmp_path / "analysis"
+    if with_schema:
+        sp = base / "04_复刻指南"
+        sp.mkdir(parents=True)
+        (sp / "DATA_SCHEMA.json").write_text(json.dumps({
+            "fields": [
+                {"name": "instruction", "type": "text", "required": True},
+                {"name": "response", "type": "text", "required": True},
+            ],
+            "constraints": {"min_length": 1, "max_length": 1000},
+        }), encoding="utf-8")
+    if with_synthetic:
+        sy = base / "11_合成数据"
+        sy.mkdir(parents=True, exist_ok=True)
+        (sy / "synthetic.json").write_text(json.dumps({"samples": [
+            {"id": "1", "instruction": "What is AI?",
+             "response": "Artificial intelligence."},
+            {"id": "2", "instruction": "",
+             "response": "orphan response"},  # non_empty ERROR
+        ]}), encoding="utf-8")
+    if with_samples:
+        sa = base / "09_样例数据"
+        sa.mkdir(parents=True, exist_ok=True)
+        (sa / "samples.json").write_text(json.dumps({"samples": [
+            {"id": "r1", "instruction": "Define ML",
+             "response": "Machine learning."},
+        ]}), encoding="utf-8")
+    base.mkdir(exist_ok=True)
+    return base
+
+
+def test_validate_cli_datarecipe(spark, tmp_path, capsys):
+    """validate reads the DataRecipe schema, picks synthetic data, and
+    writes the report into 12_质检报告 (reference cli.py:178-236)."""
+    base = _make_analysis_dir(tmp_path)
+    rc = main(["validate", str(base)])
+    assert rc == 0  # pass_rate 0.5 == default threshold
+    report = base / "12_质检报告" / "quality_report.md"
+    assert report.exists()
+    assert "数据验证报告" in report.read_text(encoding="utf-8")
+    # strict mode: the blank instruction is an ERROR -> exit 1
+    rc = main(["validate", str(base), "--strict"])
+    assert rc == 1
+    # raised threshold gates too
+    rc = main(["validate", str(base), "--threshold", "0.9"])
+    assert rc == 1
+
+
+def test_validate_cli_missing_schema(spark, tmp_path, capsys):
+    """Missing DATA_SCHEMA.json is the reference's failed-CheckResult
+    path (checker.py:385-386): exit 1, no report."""
+    base = _make_analysis_dir(tmp_path, with_schema=False)
+    rc = main(["validate", str(base)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "Schema not found" in err
+
+
+def test_validate_cli_samples_fallback_and_no_data(spark, tmp_path, capsys):
+    base = _make_analysis_dir(tmp_path, with_synthetic=False)
+    rc = main(["validate", str(base), "-f", "json"])
+    assert rc == 0  # falls back to 09_样例数据/samples.json (all clean)
+    report = base / "12_质检报告" / "quality_report.json"
+    assert json.loads(report.read_text(encoding="utf-8"))["summary"]
+    base2 = _make_analysis_dir(tmp_path / "x", with_synthetic=False,
+                               with_samples=False)
+    rc = main(["validate", str(base2)])
+    assert rc == 1
+    assert "No data file found" in capsys.readouterr().err
