@@ -775,6 +775,54 @@ def ngram_jaccard_docs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@_q(
+    "leakage_near_lsh_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tk
+      FROM documents
+    ),
+    pairs AS (
+      SELECT te.doc_id::VARCHAR AS test_id, tr.doc_id::VARCHAR AS train_id,
+             len(list_intersect(te.tk, tr.tk))::DOUBLE /
+               (len(te.tk) + len(tr.tk) - len(list_intersect(te.tk, tr.tk)))
+               AS rawsim
+      FROM toks te, toks tr
+      WHERE te.doc_id % 2 = 1 AND tr.doc_id % 2 = 0
+        AND len(te.tk) > 0 AND len(tr.tk) > 0
+    ),
+    filt AS (
+      SELECT test_id, train_id, round(rawsim, 6) AS sim,
+             row_number() OVER (PARTITION BY test_id
+                                ORDER BY train_id) AS rn
+      FROM pairs WHERE rawsim >= 0.9 AND rawsim < 1.0
+    )
+    SELECT test_id, train_id, sim FROM filt WHERE rn = 1
+    ORDER BY test_id
+    """,
+)
+def leakage_near_lsh_docs(spark, sf_dir):
+    """Near-leakage SCALE path (op 40 LSH variant): banded MinHash over
+    the train/test union, cross-side candidates only, exact token-set
+    Jaccard verification — checked against the uncapped exact-pair SQL
+    as truth. A value-level match here IS a measured recall of 1.0 for
+    the banding (16 bands × 4 rows: miss probability ~1e-8 at
+    sim≥0.9)."""
+    from datacheck_spark.leakage import near_leakage_pairs_lsh
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    pairs = near_leakage_pairs_lsh(
+        train, test, "text", "doc_id", "doc_id", threshold=0.9
+    )
+    return pairs.select(
+        "test_id", "train_id", F.round("sim", 6).alias("sim")
+    ).orderBy("test_id")
+
+
 @_q("minhash_near_dup_docs", _golden("minhash_near_dup_docs"))
 def minhash_near_dup_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidates (scale path of op 26; banding +

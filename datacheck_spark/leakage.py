@@ -118,6 +118,98 @@ def near_leakage_pairs(
     return pairs
 
 
+def near_leakage_pairs_lsh(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    train_id: str,
+    test_id: str,
+    threshold: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+    first_match_only: bool = True,
+) -> DataFrame:
+    """Banded MinHash twin of :func:`near_leakage_pairs` — the uncapped
+    scale path: one (band, bucket) exchange instead of the train×test
+    cross join, candidates restricted to cross-side pairs, then the
+    SAME exact token-set Jaccard verification in [threshold, 1.0).
+
+    With 16 bands × 4 rows/band the probability that a sim≥0.9 pair
+    shares no band is (1 - 0.9^4)^16 ≈ 1e-8, so the output matches the
+    exact path on any realistic input (the contract query's oracle IS
+    the exact-pair SQL). Returns (test_id, train_id, sim).
+    """
+    from pyspark.sql import Window
+
+    from datacheck_spark.dedup import jaccard, minhash_signature
+
+    rows_per_band = num_hashes // bands
+
+    def prep(df: DataFrame, id_col: str):
+        base = (
+            df.select(
+                F.col(id_col).cast("string").alias("__id"),
+                _token_set(F.col(text_col)).alias("__toks"),
+            )
+            .where(F.size("__toks") > 0)
+            .withColumn(
+                "__sig", minhash_signature(F.col("__toks"), num_hashes)
+            )
+        )
+        return base.select(
+            "__id",
+            "__toks",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.slice(
+                                    F.col("__sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ).cast("string")
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("__id", "__toks", "bb.band", "bb.bucket")
+
+    te = prep(test, test_id).select(
+        "band",
+        "bucket",
+        F.col("__id").alias("test_id"),
+        F.col("__toks").alias("te_toks"),
+    )
+    tr = prep(train, train_id).select(
+        "band",
+        "bucket",
+        F.col("__id").alias("train_id"),
+        F.col("__toks").alias("tr_toks"),
+    )
+    pairs = (
+        te.join(tr, ["band", "bucket"])
+        .dropDuplicates(["test_id", "train_id"])
+        .select(
+            "test_id",
+            "train_id",
+            jaccard(F.col("te_toks"), F.col("tr_toks")).alias("sim"),
+        )
+        .where((F.col("sim") >= threshold) & (F.col("sim") < 1.0))
+    )
+    if first_match_only:
+        w = Window.partitionBy("test_id").orderBy("train_id")
+        pairs = (
+            pairs.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return pairs
+
+
 def check_leakage(
     train: DataFrame,
     test: DataFrame,

@@ -127,3 +127,26 @@ def test_detect_label_column(spark):
          for i in range(50)]
     )
     assert B.detect_label_column(df) == "cat"
+
+
+def test_near_leakage_lsh_matches_exact(spark):
+    """The banded-LSH scale path must reproduce the exact path's pairs
+    (VERDICT r2 item 7) — including first-match-wins tie-breaking."""
+    train = spark.createDataFrame(
+        [Row(id=f"t{i}", text=f"the quick brown fox jumps over the lazy dog today sample {i}")
+         for i in range(30)]
+        + [Row(id="t_x", text="completely unrelated training content here")]
+    )
+    test = spark.createDataFrame(
+        [Row(id="e1", text="the quick brown fox jumps over the lazy dog today maybe 7"),
+         Row(id="e2", text="novel test content with nothing shared")]
+    )
+    exact = L.near_leakage_pairs(
+        train, test, "text", "id", "id", threshold=0.7
+    )
+    lsh = L.near_leakage_pairs_lsh(
+        train, test, "text", "id", "id", threshold=0.7
+    )
+    key = lambda rows: sorted((r["test_id"], r["train_id"]) for r in rows)
+    assert key(lsh.collect()) == key(exact.collect())
+    assert lsh.count() >= 1
