@@ -57,6 +57,8 @@ def sniff_format(data: Optional[bytes]) -> str:
         return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 
@@ -297,3 +299,121 @@ def encode_wav(
         wf.setframerate(sample_rate_hz)
         wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
     return buf.getvalue()
+
+
+# --- AVI (RIFF container headers) -----------------------------------------
+#
+# Video FRAME decode needs a codec library this container doesn't ship,
+# but the RIFF/AVI *container* is plain struct data: the avih main
+# header carries width/height/frame-count/frame-duration, which is all
+# the pipeline metadata path needs (VERDICT r2 item 8 — shrink the
+# video stub to true codec-required work). Layout per the public
+# AVI RIFF spec (msdn AVIMAINHEADER / Open DML).
+
+
+def decode_avi_header(data: bytes) -> Dict[str, Any]:
+    """Parse the RIFF AVI main header ('avih') plus a frame-chunk count
+    from the 'movi' list — no frame decode, pure stdlib struct walk."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI container")
+
+    avih = None
+    n_frame_chunks = 0
+    pos = 12
+    end = min(len(data), 8 + int.from_bytes(data[4:8], "little"))
+
+    def walk(lo: int, hi: int):
+        nonlocal avih, n_frame_chunks
+        p = lo
+        while p + 8 <= hi:
+            cid = data[p : p + 4]
+            size = int.from_bytes(data[p + 4 : p + 8], "little")
+            body = p + 8
+            if cid == b"LIST":
+                walk(body + 4, min(hi, body + size))
+            elif cid == b"avih" and avih is None:
+                avih = data[body : body + min(size, 40)]
+            elif cid[2:4] in (b"dc", b"db", b"wb") and cid[:2].isdigit():
+                n_frame_chunks += 1
+            p = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(pos, end)
+    if avih is None or len(avih) < 40:
+        raise ValueError("no avih main header")
+    usec_per_frame = int.from_bytes(avih[0:4], "little")
+    total_frames = int.from_bytes(avih[16:20], "little")
+    width = int.from_bytes(avih[32:36], "little")
+    height = int.from_bytes(avih[36:40], "little")
+    return {
+        "format": "avi",
+        "width": width,
+        "height": height,
+        "n_frames": total_frames,
+        "n_frame_chunks": n_frame_chunks,
+        "fps": (1e6 / usec_per_frame) if usec_per_frame else 0.0,
+        "duration_ms": int(round(total_frames * usec_per_frame / 1000)),
+        "pixels": None,  # frame decode requires an external codec
+    }
+
+
+def encode_avi(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps: int = 25,
+    frame_payload: bytes = b"",
+) -> bytes:
+    """Minimal structurally valid AVI writer: RIFF('AVI ') with a
+    hdrl LIST (avih + one 'vids' strl) and a movi LIST of ``n_frames``
+    '00dc' chunks carrying ``frame_payload`` (opaque compressed bytes —
+    this writer makes container fixtures, not playable video)."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = int(round(1e6 / fps))
+    avih = (
+        usec.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # dwMaxBytesPerSec
+        + (0).to_bytes(4, "little")  # dwPaddingGranularity
+        + (0).to_bytes(4, "little")  # dwFlags
+        + n_frames.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # dwInitialFrames
+        + (1).to_bytes(4, "little")  # dwStreams
+        + (0).to_bytes(4, "little")  # dwSuggestedBufferSize
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + bytes(16)  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + bytes(12)  # flags, priority+language, initial frames
+        + (1).to_bytes(4, "little")  # dwScale
+        + fps.to_bytes(4, "little")  # dwRate
+        + (0).to_bytes(4, "little")  # dwStart
+        + n_frames.to_bytes(4, "little")  # dwLength
+        + bytes(16)  # buffer/quality/sample size + rcFrame
+    )
+    strf = (  # BITMAPINFOHEADER
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # biPlanes
+        + (24).to_bytes(2, "little")  # biBitCount
+        + b"MJPG"
+        + (width * height * 3).to_bytes(4, "little")
+        + bytes(16)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", frame_payload) for _ in range(n_frames)))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body

@@ -5,11 +5,13 @@ Training-data pipeline op (task brief): images/audio/video travel as
 / resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages.
 
 Decode is REAL for PNG / BMP (stdlib+numpy pixel decode), JPEG
-(header dimensions; full pixels via the optional Pillow path), and WAV
-(stdlib PCM decode) — see ``datacheck_spark.codecs``. Unknown formats
-(e.g. video containers, which need a codec library this container
-doesn't ship) fall back to a clearly-marked deterministic stub so the
-plumbing stays exercisable; each row reports its ``decode_status``
+(header dimensions; full pixels via the optional Pillow path), WAV
+(stdlib PCM decode), and AVI containers (RIFF avih header: dims,
+frame count, fps, duration — frame PIXELS still need an external
+codec, so AVI rows report ``decode_status='header'``) — see
+``datacheck_spark.codecs``. Only truly unknown containers fall back
+to the clearly-marked deterministic stub so the plumbing stays
+exercisable; each row reports its ``decode_status``
 (``ok`` / ``header`` / ``stub`` / ``error``).
 """
 
@@ -106,6 +108,18 @@ def _decode_one(payload: Optional[bytes]) -> dict:
             d = codecs.decode_bmp(data)
         elif fmt == "jpeg":
             d = codecs.decode_jpeg_header(data)
+        elif fmt == "avi":
+            v = codecs.decode_avi_header(data)
+            out.update(
+                format="avi",
+                decoded_width=v["width"],
+                decoded_height=v["height"],
+                duration_ms_decoded=v["duration_ms"],
+                # container header parsed for real; frame pixels still
+                # need an external codec -> header, not ok
+                decode_status="header",
+            )
+            return out
         elif fmt == "wav":
             w = codecs.decode_wav(data)
             out.update(
@@ -336,18 +350,34 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                         )
                     )
                 else:
-                    # video: no in-container codec — stub bytes, known
-                    # duration metadata drives the frame-sample plan
-                    payload = rng.bytes(256)
-                    dur = 1000 + int(rng.integers(0, 10000))
+                    # video: most rows are real AVI containers (header
+                    # metadata parseable with the stdlib codec; frame
+                    # decode still needs an external codec); every
+                    # third video row keeps an unknown-container
+                    # payload to exercise the declared stub path
+                    if i % 9 == 2:
+                        payload, mime = rng.bytes(256), "video/unknown"
+                        w = h = None
+                        dur = 1000 + int(rng.integers(0, 10000))
+                    else:
+                        fps = 25
+                        w = 16 + int(rng.integers(0, 16)) * 2
+                        h = 16 + int(rng.integers(0, 16)) * 2
+                        n_frames = 25 + int(rng.integers(0, 250))
+                        payload = codecs.encode_avi(
+                            w, h, n_frames, fps=fps,
+                            frame_payload=rng.bytes(32),
+                        )
+                        mime = "video/avi"
+                        dur = int(round(n_frames * 1000 / fps))
                     rows.append(
                         (
                             f"m_{i:05d}",
                             kind,
-                            "video/unknown",
+                            mime,
                             payload,
-                            None,
-                            None,
+                            w,
+                            h,
                             dur,
                         )
                     )

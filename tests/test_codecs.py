@@ -132,3 +132,34 @@ class TestSniff:
         assert codecs.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
         assert codecs.sniff_format(b"") == "empty"
         assert codecs.sniff_format(b"garbage") == "unknown"
+
+
+def test_avi_header_roundtrip():
+    """encode_avi -> decode_avi_header recovers dims, frame count, fps
+    and duration from the RIFF avih header (no frame decode)."""
+    from datacheck_spark.codecs import (
+        decode_avi_header,
+        encode_avi,
+        sniff_format,
+    )
+
+    data = encode_avi(32, 24, n_frames=50, fps=25, frame_payload=b"xx")
+    assert sniff_format(data) == "avi"
+    d = decode_avi_header(data)
+    assert (d["width"], d["height"]) == (32, 24)
+    assert d["n_frames"] == 50
+    assert d["n_frame_chunks"] == 50
+    assert abs(d["fps"] - 25.0) < 0.01
+    assert d["duration_ms"] == 2000
+    assert d["pixels"] is None  # frames need an external codec
+
+
+def test_avi_header_rejects_non_avi():
+    import pytest as _pytest
+
+    from datacheck_spark.codecs import decode_avi_header
+
+    with _pytest.raises(ValueError):
+        decode_avi_header(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        decode_avi_header(b"garbage")

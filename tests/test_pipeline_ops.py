@@ -134,7 +134,14 @@ class TestMultimodal:
                 assert r["sample_rate_hz"] == 8000
                 assert abs(r["duration_ms_decoded"] - m["duration_ms"]) <= 1
                 assert r["mean_value"] > 0  # |sine| mean
-            else:  # video: declared stub path
+            elif m["mime"] == "video/avi":
+                # REAL RIFF container parse: header dims + duration
+                assert r["decode_status"] == "header"
+                assert r["format"] == "avi"
+                assert r["decoded_width"] == m["width"]
+                assert r["decoded_height"] == m["height"]
+                assert r["duration_ms_decoded"] == m["duration_ms"]
+            else:  # unknown-container video: declared stub path
                 assert r["decode_status"] == "stub"
 
     def test_metadata_consistency_rules(self, spark):
