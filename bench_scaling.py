@@ -68,6 +68,14 @@ def main():
     # (~0.4s/M turns at local[32]) that smaller inputs sit below the
     # fixed-overhead amortization knee and UNDERSTATE efficiency
     n_convs = int(os.environ.get("BENCH_CONVS", "2560000"))
+    # N:4N parallelism pairs. 4:16 is the better cluster proxy: a real
+    # 4N-executor cluster brings 4N× the DRAM bandwidth, while a single
+    # host saturates its memory bus near 32 threads on the char-scan
+    # heavy fused pass, capping local[32] regardless of input size.
+    pairs = [
+        tuple(int(x) for x in p.split(":"))
+        for p in os.environ.get("BENCH_PAIRS", "8:32,4:16").split(",")
+    ]
 
     # ensure the cached transcripts table exists (reuses bench's cache)
     spark = bench.get_spark("8")
@@ -75,19 +83,40 @@ def main():
     path = bench.ensure_transcripts(spark, n_convs)
     spark.stop()
 
-    r8 = run_level(8, path)
-    r32 = run_level(32, path)
+    levels = sorted({c for p in pairs for c in p})
+    runs = {c: run_level(c, path) for c in levels}
 
     # min-of-N: the host shows bursty multi-minute interference windows;
     # the minimum is the least-contaminated estimate of true job cost
-    w8 = min(r8["walls"])
-    w32 = min(r32["walls"])
-    turns = r8["turns"]
-    tp8 = turns / w8
-    tp32 = turns / w32
-    eff = (tp32 / tp8) / 4
+    wall = {c: min(runs[c]["walls"]) for c in levels}
+    turns = runs[levels[0]]["turns"]
+    tp = {c: turns / wall[c] for c in levels}
+    effs = {
+        f"{lo}:{hi}": (tp[hi] / tp[lo]) / (hi / lo) for lo, hi in pairs
+    }
+    # headline pair = first listed
+    lo0, hi0 = pairs[0]
+    w8, w32, tp8, tp32 = wall[lo0], wall[hi0], tp[lo0], tp[hi0]
+    eff = effs[f"{lo0}:{hi0}"]
+    r8, r32 = runs[lo0], runs[hi0]
 
-    md = f"""# BENCH — scaling evidence (local[8] vs local[32])
+    pair_rows = "\n".join(
+        f"| local[{lo}] → local[{hi}] | {wall[lo]:.2f}s | {wall[hi]:.2f}s "
+        f"| {tp[lo]:,.0f} t/s | {tp[hi]:,.0f} t/s "
+        f"| {effs[f'{lo}:{hi}']:.3f} |"
+        for lo, hi in pairs
+    )
+    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+All measured pairs on this input ({turns:,} turns):
+
+| pair | wall N | wall 4N | throughput N | throughput 4N | efficiency |
+|---|---|---|---|---|---|
+{pair_rows}
+
+Details for the headline local[{lo0}] → local[{hi0}] pair follow.
+"""
+    md += f"""# BENCH — scaling evidence (local[8] vs local[32])
 
 Sandbox proxy for the north rule's N vs 4N executor criterion
 (no real cluster available): the SAME transcript-validation job
@@ -135,6 +164,8 @@ Resumability: see BENCH/RESUME.md (kill-and-rerun identity evidence,
         "wall_8": round(w8, 2), "wall_32": round(w32, 2),
         "tp_8": round(tp8), "tp_32": round(tp32),
         "efficiency": round(eff, 3), "turns": turns,
+        "pairs": {k: round(v, 3) for k, v in effs.items()},
+        "walls": {str(c): round(wall[c], 2) for c in levels},
     }))
 
 

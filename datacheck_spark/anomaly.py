@@ -67,6 +67,60 @@ def _target_columns(
     return targets
 
 
+def stats_agg_exprs(
+    targets: List[tuple], exact_percentiles: bool
+) -> Dict[str, Column]:
+    """The per-target stat aggregates as named Column expressions, so
+    callers can PIGGYBACK them onto an existing aggregation job (e.g.
+    the flagship folds them into the rule-summary agg — one scan fewer
+    per run) instead of paying a dedicated pass."""
+    pct = (
+        (lambda c: F.percentile(c, F.lit([0.25, 0.5, 0.75])))
+        if exact_percentiles
+        else (lambda c: F.percentile_approx(c, F.lit([0.25, 0.5, 0.75])))
+    )
+    exprs: Dict[str, Column] = {}
+    for i, (_, expr, _) in enumerate(targets):
+        exprs[f"n__{i}"] = F.count(expr)
+        exprs[f"mean__{i}"] = F.avg(expr)
+        exprs[f"std__{i}"] = F.stddev_pop(expr)
+        exprs[f"pct__{i}"] = pct(expr)
+    return exprs
+
+
+def stats_from_values(
+    targets: List[tuple], values: Dict[str, Any]
+) -> Dict[str, Dict[str, float]]:
+    """Assemble the {field_key: stats} dict from the aggregate values
+    produced by :func:`stats_agg_exprs` (a collected Row or extras
+    dict)."""
+    out: Dict[str, Dict[str, float]] = {}
+    for i, (key, _, _) in enumerate(targets):
+        n = values[f"n__{i}"]
+        if n == 0:
+            out[key] = {
+                "count": 0,
+                "mean": 0,
+                "std": 0,
+                "median": 0,
+                "q1": 0,
+                "q3": 0,
+                "iqr": 0,
+            }
+            continue
+        q1, median, q3 = values[f"pct__{i}"]
+        out[key] = {
+            "count": n,
+            "mean": values[f"mean__{i}"],
+            "std": values[f"std__{i}"] or 0.0,
+            "median": median,
+            "q1": q1,
+            "q3": q3,
+            "iqr": q3 - q1,
+        }
+    return out
+
+
 def compute_stats_df(
     df: DataFrame,
     targets: List[tuple],
@@ -88,45 +142,11 @@ def compute_stats_df(
         if total is None:
             total = df.count()
         exact_percentiles = total <= AUTO_EXACT_ROWS
-    pct = (
-        (lambda c: F.percentile(c, F.lit([0.25, 0.5, 0.75])))
-        if exact_percentiles
-        else (lambda c: F.percentile_approx(c, F.lit([0.25, 0.5, 0.75])))
-    )
-    aggs = []
-    for i, (_, expr, _) in enumerate(targets):
-        aggs += [
-            F.count(expr).alias(f"n__{i}"),
-            F.avg(expr).alias(f"mean__{i}"),
-            F.stddev_pop(expr).alias(f"std__{i}"),
-            pct(expr).alias(f"pct__{i}"),
-        ]
-    row = df.agg(*aggs).collect()[0]
-    out = {}
-    for i, (key, _, _) in enumerate(targets):
-        n = row[f"n__{i}"]
-        if n == 0:
-            out[key] = {
-                "count": 0,
-                "mean": 0,
-                "std": 0,
-                "median": 0,
-                "q1": 0,
-                "q3": 0,
-                "iqr": 0,
-            }
-            continue
-        q1, median, q3 = row[f"pct__{i}"]
-        out[key] = {
-            "count": n,
-            "mean": row[f"mean__{i}"],
-            "std": row[f"std__{i}"] or 0.0,
-            "median": median,
-            "q1": q1,
-            "q3": q3,
-            "iqr": q3 - q1,
-        }
-    return out
+    exprs = stats_agg_exprs(targets, exact_percentiles)
+    row = df.agg(
+        *[e.alias(name) for name, e in exprs.items()]
+    ).collect()[0]
+    return stats_from_values(targets, row.asDict())
 
 
 def compute_stats(df: DataFrame, col: str) -> Dict[str, float]:
@@ -145,6 +165,8 @@ def detect_anomalies(
     key_cols: Optional[Sequence[str]] = None,
     max_keys: int = 100,
     exact_percentiles: Optional[bool] = None,
+    stats: Optional[Dict[str, Dict[str, float]]] = None,
+    total: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Detect outliers in every numeric/string-length field
     (``anomaly.py:96-164``).
@@ -154,9 +176,12 @@ def detect_anomalies(
     bounds always IQR-based (``anomaly.py:150-153``). When ``key_cols``
     is given, up to ``max_keys`` offending keys are included per field
     (the scalable replacement for the reference's in-memory index
-    lists).
+    lists). Callers that already aggregated the per-field stats (via
+    :func:`stats_agg_exprs` folded into another job) pass ``stats`` +
+    ``total`` and this runs exactly ONE job (the outlier counts).
     """
-    total = df.count()
+    if total is None:
+        total = df.count()
     if total < MIN_SAMPLES:
         return {}
 
@@ -164,7 +189,10 @@ def detect_anomalies(
     if not targets:
         return {}
 
-    stats = compute_stats_df(df, targets, exact_percentiles, total=total)
+    if stats is None:
+        stats = compute_stats_df(
+            df, targets, exact_percentiles, total=total
+        )
 
     # Outlier predicate per field against broadcast scalar bounds.
     preds: List[tuple] = []  # (field_key, predicate, field_type)
