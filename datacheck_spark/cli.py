@@ -209,6 +209,27 @@ def cmd_transcripts(args) -> int:
     return 0 if report.pass_rate >= args.threshold else 1
 
 
+def cmd_skew(args) -> int:
+    """Pre-shuffle skew diagnosis: hot keys + salt fan-outs + physical
+    partition balance for a candidate groupBy/join key (skew.py)."""
+    from datacheck_spark import sources as SRC
+    from datacheck_spark.skew import diagnose_key_skew, partition_profile
+
+    spark = _spark("datacheck-skew", args.master)
+    df, _ = SRC.load_data(spark, args.data)
+    out = {
+        "key_skew": diagnose_key_skew(
+            df,
+            [c.strip() for c in args.keys.split(",") if c.strip()],
+            top_k=args.top_k,
+            salt_threshold=args.salt_threshold,
+        ).to_dict(),
+        "partition_profile": partition_profile(df),
+    }
+    print(json.dumps(out, indent=2, ensure_ascii=False, default=str))
+    return 0
+
+
 def cmd_rules(args) -> int:
     """List the rules of a ruleset (reference ``cli.py`` rules cmd)."""
     from datacheck_spark.rules.compiler import (
@@ -538,6 +559,13 @@ def main(argv=None) -> int:
     s.add_argument("--trigger-seconds", type=int, default=10)
     s.add_argument("--timeout", type=int, default=0)
     s.set_defaults(fn=cmd_stream)
+
+    sk = sub.add_parser("skew")
+    sk.add_argument("data")
+    sk.add_argument("--keys", required=True)
+    sk.add_argument("--top-k", type=int, default=20)
+    sk.add_argument("--salt-threshold", type=float, default=4.0)
+    sk.set_defaults(fn=cmd_skew)
 
     args = ap.parse_args(argv)
     return args.fn(args)

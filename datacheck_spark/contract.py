@@ -2100,6 +2100,38 @@ def bucket_verdicts_transcripts(spark, sf_dir):
     )
 
 
+@_q(
+    "key_skew_events",
+    """
+    WITH counts AS (
+      SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys
+      FROM counts
+    )
+    SELECT c.user_id, c.cnt,
+           round(c.cnt::DOUBLE / s.total, 6) AS share,
+           round(c.cnt::DOUBLE * s.n_keys / s.total, 4) AS skew
+    FROM counts c CROSS JOIN stats s
+    ORDER BY c.cnt DESC, c.user_id LIMIT 10
+    """,
+)
+def key_skew_events(spark, sf_dir):
+    """Hot-key shuffle-skew diagnosis (beyond-reference ``skew.py``):
+    the 10 hottest user_id keys with their row share and skew factor
+    vs a uniform key distribution — the pre-shuffle report that picks
+    salt fan-outs at 10^12-row scale."""
+    from datacheck_spark.skew import hot_keys
+
+    df = _t(spark, sf_dir, "events")
+    return hot_keys(df, ["user_id"], top_k=10).select(
+        "user_id",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("share", 6).alias("share"),
+        F.round("skew", 4).alias("skew"),
+    )
+
+
 def queries() -> Dict[str, QueryFn]:
     return dict(_QUERIES)
 
