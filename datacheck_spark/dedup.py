@@ -612,6 +612,12 @@ def connected_components(
             )
         )
         .distinct()
+        # materialize ONCE: edges are joined every propagation round,
+        # and their lineage is the whole pair-generation pipeline
+        # (all-pairs Jaccard or LSH banding) — without this the pair
+        # job re-runs per round, multiplying the dominant cost by the
+        # round count
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
