@@ -165,10 +165,16 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Jaccard over two string-array columns (``text_rules.py:19-26``):
-    both empty ⇒ 1.0; empty union ⇒ 0.0."""
-    union = F.size(F.array_union(a, b))
+    """Jaccard over two distinct-element string-array columns
+    (``text_rules.py:19-26``): both empty ⇒ 1.0; empty union ⇒ 0.0.
+
+    Inputs must carry set semantics (every caller builds them via
+    ``array_distinct``), which lets |A∪B| = |A|+|B|−|A∩B| — one hash
+    build per pair instead of two; in the O(n²) exact path this
+    expression runs once per candidate pair, so it is the hot spot.
+    """
     inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
     return (
         F.when((F.size(a) == 0) & (F.size(b) == 0), F.lit(1.0))
         .when(union == 0, F.lit(0.0))
@@ -219,14 +225,21 @@ def near_duplicate_pairs_exact(
         F.col(id_col).cast("string").alias("__id"),
         char_ngrams(text, ngram_n).alias("__g"),
     )
+    # non-equi self-join ⇒ nested-loop with one side broadcast. The
+    # input is small (≤ the 5000-row reference cap) so it lands in 1-2
+    # partitions and the O(n²) pair evaluation would run on one core;
+    # spreading the stream side across the cluster parallelizes it,
+    # and the explicit broadcast keeps Catalyst from streaming the
+    # un-repartitioned side instead.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     a = base.select(
         F.col("__id").alias("id_a"), F.col("__g").alias("ga")
-    )
+    ).repartition(parallelism)
     b = base.select(
         F.col("__id").alias("id_b"), F.col("__g").alias("gb")
     )
     pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
