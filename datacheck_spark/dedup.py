@@ -291,21 +291,78 @@ def near_duplicate_groups(
 # --- MinHash + LSH (scale path) ------------------------------------------
 
 
+def _minhash_params(num_hashes: int):
+    """Fixed-seed universal-hash coefficients (odd multiplier + offset
+    per hash), deterministic across runs and partitions."""
+    rng = np.random.default_rng(0xDA7AC4EC)
+    a = (
+        rng.integers(1, 2**62, size=num_hashes, dtype=np.uint64)
+        * np.uint64(2)
+        + np.uint64(1)
+    )
+    b = rng.integers(0, 2**62, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_from_hashes(hashes: Column, num_hashes: int) -> Column:
+    """All ``num_hashes`` MinHash values from ONE per-row int64
+    token-hash array, vectorized with numpy over Arrow batches.
+
+    Same split as ``_simhash_from_hashes``: the token hashing is a
+    single JVM-side ``xxhash64`` walk; the per-hash minima use the
+    universal family h_i(x) = a_i·x + b_i (mod 2⁶⁴) over the already-
+    mixed base hash — one ``np.minimum.reduceat`` per hash function
+    instead of 64 interpreted Catalyst array traversals (the
+    higher-order ``transform`` is CodegenFallback, measured as the
+    dominant cost of the whole LSH pipeline).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    a_coef, b_coef = _minhash_params(num_hashes)
+    empty_sig = [np.iinfo(np.int64).max] * num_hashes
+
+    @pandas_udf("array<long>")
+    def _mins(harrs: pd.Series) -> pd.Series:
+        n = len(harrs)
+        lens = np.fromiter(
+            (0 if x is None else len(x) for x in harrs),
+            dtype=np.int64,
+            count=n,
+        )
+        nonempty = np.flatnonzero(lens > 0)
+        out = [empty_sig] * n
+        if len(nonempty) == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(harrs.iloc[i], dtype=np.int64) for i in nonempty]
+        ).astype(np.uint64)
+        ne_lens = lens[nonempty]
+        starts = np.zeros(len(nonempty), dtype=np.int64)
+        np.cumsum(ne_lens[:-1], out=starts[1:])
+        sig = np.empty((num_hashes, len(nonempty)), dtype=np.uint64)
+        for i in range(num_hashes):
+            hv = flat * a_coef[i] + b_coef[i]  # uint64 wraps mod 2^64
+            sig[i] = np.minimum.reduceat(hv, starts)
+        cols = sig.astype(np.int64).T  # (n_nonempty, num_hashes)
+        for j, i in enumerate(nonempty):
+            out[i] = cols[j].tolist()
+        return pd.Series(out)
+
+    return _mins(hashes)
+
+
 def minhash_signature(
     grams: Column, num_hashes: int = 64
 ) -> Column:
-    """MinHash signature (array<long>) over a string-array column using
-    seeded xxhash64 — fully native, no Python.
+    """MinHash signature (array<long>) over a string-array column.
 
-    Standard MinHash: sig[i] = min over tokens of hash_i(token).
+    Standard MinHash: sig[i] = min over tokens of hash_i(token), with
+    hash_i the universal family a_i·xxhash64(token)+b_i (mod 2⁶⁴) —
+    one native hash walk + an Arrow-vectorized numpy kernel (see
+    ``_minhash_from_hashes``).
     """
-    sigs = [
-        F.array_min(
-            F.transform(grams, lambda g: F.xxhash64(g, F.lit(i)))
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return _minhash_from_hashes(hashes, num_hashes)
 
 
 def near_duplicate_pairs_lsh(
@@ -329,6 +386,13 @@ def near_duplicate_pairs_lsh(
     """
     rows_per_band = num_hashes // bands
     text = F.concat_ws(" ", *[F.col(c) for c in text_cols])
+    # the signature stage is the CPU hot spot: 64 higher-order
+    # `transform` expressions (CodegenFallback → interpreted) re-walk
+    # every gram array. Make sure it runs at cluster parallelism even
+    # when the input arrives as a handful of file splits.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     base = (
         df.select(
             F.col(id_col).cast("string").alias("__id"),
@@ -357,29 +421,53 @@ def near_duplicate_pairs_lsh(
                 ]
             )
         ).alias("bb"),
-    ).select("__id", "__g", "bb.band", "bb.bucket")
+    ).select("__id", "bb.band", "bb.bucket")
 
+    # the bucket join and candidate dedup move ONLY (id, band, bucket):
+    # carrying the gram arrays here would multiply the shuffle payload
+    # by the band count (16×) and again by the candidate multiplicity —
+    # at 10^12 rows that exchange, not the hashing, is the bottleneck.
+    # Grams are re-attached once per deduped candidate pair instead
+    # (column pruning keeps the re-read of `base` to id+grams; the
+    # minhash signatures are not recomputed).
     a = band_entries.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("__id").alias("id_a"),
-        F.col("__g").alias("ga"),
+        "band", "bucket", F.col("__id").alias("id_a")
     )
     b = band_entries.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("__id").alias("id_b"),
-        F.col("__g").alias("gb"),
+        "band", "bucket", F.col("__id").alias("id_b")
     )
     candidates = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ga", "gb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # the slim candidate table is tiny in bytes, so AQE coalesces
+        # it to one partition — but each row fans out into an exact
+        # Jaccard evaluation over two full gram arrays, which is CPU-
+        # not byte-bound; spread the verify across the cluster
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a"
+        )
     )
-    return candidates.select(
-        "id_a", "id_b", jaccard(F.col("ga"), F.col("gb")).alias("sim")
-    ).where(F.col("sim") >= threshold)
+    grams = base.select("__id", "__g")
+    verified = (
+        candidates.join(
+            grams.select(
+                F.col("__id").alias("id_a"), F.col("__g").alias("ga")
+            ),
+            "id_a",
+        )
+        .join(
+            grams.select(
+                F.col("__id").alias("id_b"), F.col("__g").alias("gb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", jaccard(F.col("ga"), F.col("gb")).alias("sim")
+        )
+    )
+    return verified.where(F.col("sim") >= threshold)
 
 
 # --- SimHash --------------------------------------------------------------
