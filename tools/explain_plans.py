@@ -231,6 +231,51 @@ def main():
         ],
     )
 
+    # 11. MinHash-LSH near-dup pairs: the band/bucket exchange must be
+    # slim (no gram arrays — payload would multiply by band count), the
+    # signature kernel must be Arrow-vectorized (not 64 interpreted
+    # higher-order transforms), and the exact-Jaccard verify must be
+    # explicitly spread (AQE would coalesce the byte-tiny candidate
+    # table onto one task even though each row is CPU-heavy)
+    import re as _re
+
+    from datacheck_spark.dedup import near_duplicate_pairs_lsh
+
+    def _shuffles_gram_free(p: str) -> bool:
+        # every shuffle exchange (band/bucket at scale, candidate dedup,
+        # verify repartition) must move ids only — gram arrays may sit
+        # in scan-side projections or a broadcast, never a shuffle
+        blocks = _re.findall(
+            r"Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
+            r"Arguments: hashpartitioning\(",
+            p,
+        )
+        return bool(blocks) and not any(
+            "__g" in b or "ga#" in b or "gb#" in b for b in blocks
+        )
+
+    add(
+        "minhash-LSH near-dup pairs (banding + exact verify)",
+        near_duplicate_pairs_lsh(
+            docs.select("doc_id", "text"), ["text"], "doc_id",
+            threshold=0.5,
+        ),
+        [
+            (
+                "no shuffle exchange carries gram arrays",
+                _shuffles_gram_free,
+            ),
+            (
+                "Arrow-vectorized signature kernel (no interpreted HOF fan-out)",
+                lambda p: "ArrowEvalPython" in p,
+            ),
+            (
+                "exact verify spread via explicit repartition",
+                lambda p: "REPARTITION_BY_NUM" in p,
+            ),
+        ],
+    )
+
     md = ["# PLANS — physical-plan evidence for key operators",
           "",
           "Generated by `tools/explain_plans.py` (sf0.01). Invariants",
