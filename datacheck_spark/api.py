@@ -1,4 +1,5 @@
-"""Tool-call API surface: the reference's 11 MCP tools as one dispatcher.
+"""Tool-call API surface: the reference's 11 MCP tools (plus one
+beyond-reference tool) as one dispatcher.
 
 Reference: ``mcp_server.py:30-277`` registers 11 tools; ``call_tool``
 (``mcp_server.py:279-832``) dispatches to the engine. Here the same
@@ -8,7 +9,8 @@ thin wrappers a deployment can add (neither ships in this sandbox);
 
 Tools (reference README.md:372-384): check_data_quality, infer_schema,
 fix_data, compare_datasets, check_drift, check_leakage, check_bias,
-check_coverage, calculate_contribution, generate_report, diff_reports.
+check_coverage, calculate_contribution, generate_report, diff_reports;
+beyond-reference: diagnose_skew (``skew.py``).
 """
 
 from __future__ import annotations
@@ -171,6 +173,29 @@ def call_tool(
             "diff": diff_reports(args.get("report_a", {}), args.get("report_b", {}))
         }
 
+    if name == "diagnose_skew":
+        # beyond-reference 12th tool: pre-shuffle hot-key/salt report
+        # (skew.py) over request samples or a table path
+        from datacheck_spark.skew import diagnose_key_skew, partition_profile
+
+        if args.get("path"):
+            df = spark.read.parquet(args["path"])
+        else:
+            df = _df_from_samples(spark, args.get("samples", []))
+        keys = args.get("key_fields") or []
+        if not keys:
+            raise ValueError("diagnose_skew requires key_fields")
+        rep = diagnose_key_skew(
+            df,
+            keys,
+            top_k=int(args.get("top_k", 20)),
+            salt_threshold=float(args.get("salt_threshold", 4.0)),
+        )
+        return {
+            "key_skew": rep.to_dict(),
+            "partition_profile": partition_profile(df),
+        }
+
     raise ValueError(f"unknown tool: {name}")
 
 
@@ -178,4 +203,5 @@ TOOLS = [
     "check_data_quality", "infer_schema", "fix_data", "compare_datasets",
     "check_drift", "check_leakage", "check_bias", "check_coverage",
     "calculate_contribution", "generate_report", "diff_reports",
+    "diagnose_skew",
 ]

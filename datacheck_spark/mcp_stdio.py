@@ -8,10 +8,10 @@ protocol surface needed for a tools server is small:
 - ``initialize``                → capabilities + serverInfo
 - ``notifications/initialized`` → (notification, no response)
 - ``ping``                      → {}
-- ``tools/list``                → the 11 tool descriptors
+- ``tools/list``                → the 12 tool descriptors
 - ``tools/call``                → dispatch to ``api.call_tool``
 
-Reference parity: ``mcp_server.py:837-844`` serves the same 11 tools
+Reference parity: ``mcp_server.py:837-844`` serves the first 11 tools
 through the MCP SDK's ``stdio_server``; results here are returned as
 one JSON text content block (the reference renders Markdown — the
 structured payload is strictly more machine-usable).
@@ -49,6 +49,7 @@ _TOOL_DESCRIPTIONS = {
     "calculate_contribution": "Contribution weights (base x quality x time x scarcity)",
     "generate_report": "Render a quality report (markdown/json/html)",
     "diff_reports": "Diff two quality reports (arrows per metric)",
+    "diagnose_skew": "Pre-shuffle skew report: hot keys, salt fan-outs, partition balance",
 }
 
 

@@ -108,6 +108,7 @@ def test_every_tool_dispatches(spark):
             "report_a": {"summary": {"pass_rate": 0.9}},
             "report_b": {"summary": {"pass_rate": 0.8}},
         },
+        "diagnose_skew": {"samples": samples * 4, "key_fields": ["id"]},
     }
     assert set(args_by_tool) == set(TOOLS)
     msgs = [
