@@ -178,6 +178,83 @@ def stateful_turn_order_check(
     )
 
 
+def drift_monitor_batch_fn(
+    baseline,
+    value_col: str,
+    on_result: Callable[[dict], None],
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+    compression: int = 100,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function comparing each micro-batch's
+    distribution of ``value_col`` against a fixed baseline t-digest.
+
+    The per-batch digest is the same mergeable bounded-state sketch the
+    batch drift path uses (``tdigest.column_tdigest``: ≤ 2×compression
+    doubles per partition regardless of batch size), so the monitor's
+    memory is constant at any throughput. Each batch emits one result
+    dict — ``{batch_id, n, ks, psi, drifted}`` — to ``on_result``
+    (append to a list, push a metric, page someone).
+    """
+    from datacheck_spark.tdigest import (
+        column_tdigest,
+        ks_from_digests,
+        psi_from_digests,
+    )
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        d = column_tdigest(batch_df, value_col, compression)
+        ks = ks_from_digests(baseline, d)
+        p = psi_from_digests(baseline, d)
+        on_result(
+            {
+                "batch_id": batch_id,
+                "n": n,
+                "ks": round(ks, 6),
+                "psi": round(p, 6),
+                "drifted": bool(ks > ks_threshold or p > psi_threshold),
+            }
+        )
+
+    return check_batch
+
+
+def start_drift_monitor(
+    stream_df: DataFrame,
+    baseline,
+    value_col: str,
+    on_result: Callable[[dict], None],
+    checkpoint_path: str,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+    trigger_seconds: int = 10,
+) -> StreamingQuery:
+    """Streaming drift monitor: readStream → per-micro-batch t-digest →
+    KS/PSI against a fixed baseline digest (built offline with
+    ``tdigest.column_tdigest`` over the reference dataset).
+
+    The streaming analogue of ``drift.drift_report_sketch`` — drift on
+    arriving data without ever holding more than the sketch state.
+    """
+    return (
+        stream_df.writeStream.foreachBatch(
+            drift_monitor_batch_fn(
+                baseline,
+                value_col,
+                on_result,
+                ks_threshold=ks_threshold,
+                psi_threshold=psi_threshold,
+            )
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def start_violations_sink(
     annotated: DataFrame,
     key_cols,

@@ -170,3 +170,57 @@ def test_streaming_session_window(spark, tmp_path):
         ).collect()
     )
     assert bsess == by_key
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Per-micro-batch t-digest KS/PSI vs a fixed baseline: a batch
+    drawn from the baseline distribution must not flag, a shifted
+    batch must."""
+    from datacheck_spark.streaming import start_drift_monitor
+    from datacheck_spark.tdigest import column_tdigest
+
+    # baseline: uniform grid on [0, 1)
+    base_df = spark.range(0, 2000).select(
+        (F.col("id") / 2000.0).alias("v")
+    )
+    baseline = column_tdigest(base_df, "v")
+
+    src = tmp_path / "drift_in"
+    src.mkdir()
+    # batch 1: same uniform grid (offset sampling, same distribution)
+    spark.range(0, 1000).select(
+        ((F.col("id") * 2 + 1) / 2000.0).alias("v")
+    ).coalesce(1).write.parquet(str(src / "batch1"))
+    # batch 2: shifted by +5 — disjoint support, KS ~ 1
+    spark.range(0, 1000).select(
+        (F.col("id") / 1000.0 + 5.0).alias("v")
+    ).coalesce(1).write.parquet(str(src / "batch2"))
+
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    results = []
+    q = start_drift_monitor(
+        stream,
+        baseline,
+        "v",
+        results.append,
+        checkpoint_path=str(tmp_path / "drift_ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(results) < 2:
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    assert len(results) >= 2
+    by_drift = sorted(results, key=lambda r: r["ks"])
+    same, shifted = by_drift[0], by_drift[-1]
+    assert same["n"] == 1000 and shifted["n"] == 1000
+    assert same["ks"] < 0.05 and not same["drifted"]
+    assert shifted["ks"] > 0.9 and shifted["drifted"]
+    assert shifted["psi"] > 1.0
