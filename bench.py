@@ -99,6 +99,9 @@ SECONDARY = [
     "compute_stats_lineitem",
     "sample_hash_docs",
     "bucket_verdicts_transcripts",
+    "minhash_near_dup_docs",
+    "near_dedup_keep_best_docs",
+    "key_skew_events",
 ]
 
 
