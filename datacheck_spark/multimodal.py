@@ -185,6 +185,78 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), True),
+        StructField("resize_status", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def _nn_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy index math (vectorized)."""
+    h, w = px.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return px[ys][:, xs]
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Resize image payloads to ``width``×``height`` — REAL for the
+    formats with a real pixel decode (PNG, 24-bpp BMP; JPEG via the
+    optional Pillow path inside ``decode_png``'s Pillow fallback is
+    not attempted here): decode → vectorized nearest-neighbor index
+    resize → re-encode PNG. Arrow-batched ``mapInPandas``; rows whose
+    format has no pixel decode pass through with
+    ``resize_status='unsupported'`` and a null payload rather than a
+    fake image, so downstream counts stay honest.
+    """
+
+    def _resize_one(payload: Optional[bytes]) -> tuple:
+        data = payload or b""
+        fmt = codecs.sniff_format(data)
+        try:
+            if fmt == "png":
+                d = codecs.decode_png(data)
+            elif fmt == "bmp":
+                d = codecs.decode_bmp(data)
+            else:
+                return ("unsupported", None, None, None)
+            px = d.get("pixels")
+            if px is None:
+                return ("unsupported", None, None, None)
+            out = _nn_resize(np.asarray(px), width, height)
+            return ("ok", width, height, codecs.encode_png(out))
+        except Exception:
+            return ("error", None, None, None)
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_resize_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "resize_status": [r[0] for r in rows],
+                    "width": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r[2] for r in rows], dtype="Int32"
+                    ),
+                    "payload": [r[3] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(do, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

@@ -163,3 +163,38 @@ def test_avi_header_rejects_non_avi():
         decode_avi_header(b"RIFF\x04\x00\x00\x00WAVE")
     with _pytest.raises(ValueError):
         decode_avi_header(b"garbage")
+
+
+def test_resize_images_real_pixels(spark):
+    """resize_images: PNG/BMP rows get REAL nearest-neighbor-resized
+    PNG payloads (round-trip verified against numpy index math);
+    pixel-less formats pass through as 'unsupported'."""
+    import numpy as np
+
+    from datacheck_spark.codecs import decode_png, encode_bmp, encode_png
+    from datacheck_spark.multimodal import _nn_resize, resize_images
+
+    rng = np.random.default_rng(7)
+    px_png = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    px_bmp = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    rows = [
+        ("png1", "image", bytearray(encode_png(px_png))),
+        ("bmp1", "image", bytearray(encode_bmp(px_bmp))),
+        ("junk", "image", bytearray(b"\x00\x01nonsense")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary"
+    )
+    out = {
+        r["media_id"]: r
+        for r in resize_images(df, 16, 12).collect()
+    }
+    assert out["junk"]["resize_status"] == "unsupported"
+    assert out["junk"]["payload"] is None
+    for mid, src in (("png1", px_png), ("bmp1", px_bmp)):
+        r = out[mid]
+        assert r["resize_status"] == "ok"
+        assert (r["width"], r["height"]) == (16, 12)
+        got = decode_png(bytes(r["payload"]))["pixels"]
+        assert got.shape == (12, 16, 3)
+        assert np.array_equal(got, _nn_resize(src, 16, 12))
