@@ -58,6 +58,7 @@ GOLDEN_QUERIES = (
     "simhash_docs",
     "ivf_topk_embeddings",
     "media_features",
+    "media_resize",
 )
 
 
@@ -1016,6 +1017,30 @@ def media_features(spark, sf_dir):
 
     media = synthetic_media(spark, n=200)
     return extract_media_features(media).orderBy("media_id")
+
+
+@_q("media_resize", _golden("media_resize"))
+def media_resize(spark, sf_dir):
+    """Multimodal resize (training-pipeline op): real nearest-neighbor
+    resize of PNG/BMP payloads to 32×24 re-encoded as PNG; pixel-less
+    formats honestly 'unsupported'. Payload bytes compared via
+    xxhash64 so the golden stays small; pixel-level equality vs the
+    numpy reference resize is proven in tests/test_codecs.py."""
+    from datacheck_spark.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=200)
+    return (
+        resize_images(media, 32, 24)
+        .select(
+            "media_id",
+            "kind",
+            "resize_status",
+            "width",
+            "height",
+            F.xxhash64("payload").alias("payload_hash"),
+        )
+        .orderBy("media_id")
+    )
 
 
 @_q(
