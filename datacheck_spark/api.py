@@ -1,5 +1,5 @@
-"""Tool-call API surface: the reference's 11 MCP tools (plus one
-beyond-reference tool) as one dispatcher.
+"""Tool-call API surface: the reference's 11 MCP tools (plus two
+beyond-reference tools) as one dispatcher.
 
 Reference: ``mcp_server.py:30-277`` registers 11 tools; ``call_tool``
 (``mcp_server.py:279-832``) dispatches to the engine. Here the same
@@ -10,7 +10,8 @@ thin wrappers a deployment can add (neither ships in this sandbox);
 Tools (reference README.md:372-384): check_data_quality, infer_schema,
 fix_data, compare_datasets, check_drift, check_leakage, check_bias,
 check_coverage, calculate_contribution, generate_report, diff_reports;
-beyond-reference: diagnose_skew (``skew.py``).
+beyond-reference: diagnose_skew (``skew.py``), suggest_rules
+(``suggest.py``).
 """
 
 from __future__ import annotations
@@ -196,6 +197,22 @@ def call_tool(
             "partition_profile": partition_profile(df),
         }
 
+    if name == "suggest_rules":
+        # beyond-reference 13th tool: profile → suggested validation
+        # config (suggest.py) over request samples or a table path;
+        # output feeds check_data_quality's rules config / YAML compiler
+        from datacheck_spark.suggest import suggest_rules
+
+        if args.get("path"):
+            df = spark.read.parquet(args["path"])
+        else:
+            df = _df_from_samples(spark, args.get("samples", []))
+        return suggest_rules(
+            df,
+            enum_max_uniques=int(args.get("enum_max_uniques", 20)),
+            required_threshold=float(args.get("required_threshold", 0.95)),
+        )
+
     raise ValueError(f"unknown tool: {name}")
 
 
@@ -203,5 +220,5 @@ TOOLS = [
     "check_data_quality", "infer_schema", "fix_data", "compare_datasets",
     "check_drift", "check_leakage", "check_bias", "check_coverage",
     "calculate_contribution", "generate_report", "diff_reports",
-    "diagnose_skew",
+    "diagnose_skew", "suggest_rules",
 ]

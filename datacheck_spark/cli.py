@@ -158,6 +158,33 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Profile data and propose a validation config (suggest.py); the
+    output round-trips through ``ruleset_from_config`` / `check -r`."""
+    from datacheck_spark import sources as SRC
+    from datacheck_spark.suggest import suggest_rules
+
+    spark = _spark("datacheck-suggest", args.master)
+    df, _ = SRC.load_data(spark, args.data)
+    cfg = suggest_rules(
+        df,
+        enum_max_uniques=args.enum_max,
+        required_threshold=args.required_threshold,
+    )
+    if args.format == "yaml":
+        import yaml
+
+        out = yaml.safe_dump(cfg, sort_keys=False, allow_unicode=True)
+    else:
+        out = json.dumps(cfg, indent=2, ensure_ascii=False)
+    if args.output:
+        from pathlib import Path
+
+        Path(args.output).write_text(out, encoding="utf-8")
+    print(out)
+    return 0
+
+
 def cmd_drift(args) -> int:
     from datacheck_spark.drift import drift_report
 
@@ -508,6 +535,14 @@ def main(argv=None) -> int:
     d.add_argument("data_a")
     d.add_argument("data_b")
     d.set_defaults(fn=cmd_drift)
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("data")
+    sg.add_argument("-o", "--output")
+    sg.add_argument("--format", choices=("yaml", "json"), default="yaml")
+    sg.add_argument("--enum-max", type=int, default=20)
+    sg.add_argument("--required-threshold", type=float, default=0.95)
+    sg.set_defaults(fn=cmd_suggest)
 
     r = sub.add_parser("rules")
     r.add_argument("--ruleset", default="default")

@@ -2157,6 +2157,79 @@ def key_skew_events(spark, sf_dir):
     )
 
 
+@_q(
+    "suggest_rules_events",
+    """
+    WITH p AS (
+      SELECT count(*) AS total,
+             count(event_id) AS nn_eid, min(event_id) AS mn_eid, max(event_id) AS mx_eid,
+             count(ts) AS nn_ts,
+             count(user_id) AS nn_uid, min(user_id) AS mn_uid, max(user_id) AS mx_uid,
+             count(event_type) AS nn_et,
+             sum(CASE WHEN trim(event_type) = '' THEN 1 ELSE 0 END) AS bl_et,
+             min(length(event_type)) AS lmn_et, max(length(event_type)) AS lmx_et,
+             count(DISTINCT event_type) AS u_et,
+             count(value) AS nn_val, min(value) AS mn_val, max(value) AS mx_val,
+             count(props) AS nn_props,
+             sum(CASE WHEN trim(props) = '' THEN 1 ELSE 0 END) AS bl_props,
+             min(length(props)) AS lmn_props, max(length(props)) AS lmx_props,
+             count(DISTINCT props) AS u_props
+      FROM events
+    )
+    SELECT 'event_id' AS field, 'required' AS "check",
+           NULL::DOUBLE AS p1, NULL::DOUBLE AS p2, NULL::VARCHAR AS vals
+      FROM p WHERE nn_eid >= 0.95 * total
+    UNION ALL SELECT 'event_id', 'number_range', mn_eid::DOUBLE, mx_eid::DOUBLE, NULL
+      FROM p WHERE nn_eid > 0
+    UNION ALL SELECT 'ts', 'required', NULL, NULL, NULL
+      FROM p WHERE nn_ts >= 0.95 * total
+    UNION ALL SELECT 'user_id', 'required', NULL, NULL, NULL
+      FROM p WHERE nn_uid >= 0.95 * total
+    UNION ALL SELECT 'user_id', 'number_range', mn_uid::DOUBLE, mx_uid::DOUBLE, NULL
+      FROM p WHERE nn_uid > 0
+    UNION ALL SELECT 'event_type', 'required', NULL, NULL, NULL
+      FROM p WHERE nn_et >= 0.95 * total
+    UNION ALL SELECT 'event_type', 'non_empty', NULL, NULL, NULL
+      FROM p WHERE nn_et = total AND bl_et = 0
+    UNION ALL SELECT 'event_type', 'min_length', lmn_et::DOUBLE, NULL, NULL
+      FROM p WHERE nn_et = total AND lmn_et >= 1
+    UNION ALL SELECT 'event_type', 'max_length', lmx_et::DOUBLE, NULL, NULL
+      FROM p WHERE nn_et > 0
+    UNION ALL SELECT 'event_type', 'enum', NULL, NULL,
+           (SELECT string_agg(v, ',' ORDER BY v)
+              FROM (SELECT DISTINCT event_type AS v FROM events))
+      FROM p WHERE nn_et = total AND u_et <= 20
+    UNION ALL SELECT 'value', 'required', NULL, NULL, NULL
+      FROM p WHERE nn_val >= 0.95 * total
+    UNION ALL SELECT 'value', 'number_range', mn_val, mx_val, NULL
+      FROM p WHERE nn_val > 0
+    UNION ALL SELECT 'props', 'required', NULL, NULL, NULL
+      FROM p WHERE nn_props >= 0.95 * total
+    UNION ALL SELECT 'props', 'non_empty', NULL, NULL, NULL
+      FROM p WHERE nn_props = total AND bl_props = 0
+    UNION ALL SELECT 'props', 'min_length', lmn_props::DOUBLE, NULL, NULL
+      FROM p WHERE nn_props = total AND lmn_props >= 1
+    UNION ALL SELECT 'props', 'max_length', lmx_props::DOUBLE, NULL, NULL
+      FROM p WHERE nn_props > 0
+    UNION ALL SELECT 'props', 'enum', NULL, NULL,
+           (SELECT string_agg(v, ',' ORDER BY v)
+              FROM (SELECT DISTINCT props AS v FROM events))
+      FROM p WHERE nn_props = total AND u_props <= 20
+    """,
+)
+def suggest_rules_events(spark, sf_dir):
+    """Rule suggestion (beyond-reference ``suggest.py``, Deequ-style
+    constraint suggestion): profile events in one agg pass and emit the
+    suggested config flattened to ``(field, check, p1, p2, vals)``.
+    Every arm of the DuckDB oracle re-derives the same emission
+    conditions (completeness bar, blank-free, enum cardinality ≤ 20),
+    so the suggested RULE SET — not just the profile — is value-checked."""
+    from datacheck_spark.suggest import suggest_rules, suggestions_table
+
+    df = _t(spark, sf_dir, "events")
+    return suggestions_table(spark, suggest_rules(df))
+
+
 def queries() -> Dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -8,7 +8,7 @@ protocol surface needed for a tools server is small:
 - ``initialize``                → capabilities + serverInfo
 - ``notifications/initialized`` → (notification, no response)
 - ``ping``                      → {}
-- ``tools/list``                → the 12 tool descriptors
+- ``tools/list``                → the 13 tool descriptors
 - ``tools/call``                → dispatch to ``api.call_tool``
 
 Reference parity: ``mcp_server.py:837-844`` serves the first 11 tools
@@ -50,6 +50,7 @@ _TOOL_DESCRIPTIONS = {
     "generate_report": "Render a quality report (markdown/json/html)",
     "diff_reports": "Diff two quality reports (arrows per metric)",
     "diagnose_skew": "Pre-shuffle skew report: hot keys, salt fan-outs, partition balance",
+    "suggest_rules": "Profile samples and suggest a validation rules config (round-trips into check_data_quality)",
 }
 
 

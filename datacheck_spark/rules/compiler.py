@@ -724,12 +724,20 @@ KNOWN_CHECK_TYPES = {
 }
 
 
-def ruleset_from_config(config: Dict[str, Any], name: str = "config") -> RuleSet:
+def ruleset_from_config(
+    config: Dict[str, Any], name: str = "config", load_builtins: bool = True
+) -> RuleSet:
     """Build a RuleSet from a parsed YAML/JSON config dict
     (``rules.py:223-260``). Rule ids follow the reference pattern
     ``config_{field}_{check}_{i}``; ``message`` becomes the rule name.
-    Unknown check types raise at load time (``rules.py:338-339``)."""
-    rs = RuleSet(name=config.get("name", name))
+    Unknown check types raise at load time (``rules.py:338-339``).
+
+    ``load_builtins=True`` matches the reference (``from_config``
+    instantiates the RuleSet with its builtin rules); pass False to get
+    ONLY the config's rules — e.g. to enforce a
+    :func:`datacheck_spark.suggest.suggest_rules` config standalone.
+    """
+    rs = RuleSet(name=config.get("name", name), load_builtins=load_builtins)
     for i, rule_def in enumerate(config.get("rules", [])):
         field_name = rule_def["field"]
         check_type = rule_def["check"]

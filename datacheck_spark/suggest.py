@@ -1,0 +1,250 @@
+"""Rule suggestion: profile a DataFrame and propose a validation config.
+
+Beyond-reference capability (the reference stops at schema inference,
+``checker.py:590-674``): this closes the profile → enforce loop the way
+large-scale DQ systems do (cf. the constraint-suggestion stage of
+Deequ, Schelter et al., "Automating Large-Scale Data Quality
+Verification", VLDB 2018). The suggested config round-trips through the
+existing YAML compiler (:func:`datacheck_spark.rules.compiler.
+ruleset_from_config` — pass ``load_builtins=False`` to enforce just the
+suggestions) and carries a guarantee: every suggested rule passes on
+the data it was profiled from. (The builtin dataset-level rules a
+default RuleSet adds on top make no such promise — they are what
+flagged the data's issues in the first place.)
+
+Scale shape: ONE full-scan aggregation job computes every per-column
+statistic (map-side partial aggregation, no shuffle beyond the final
+single-row agg), plus one tiny follow-up job that ``collect_set``s ONLY
+the columns whose distinct count already qualified them as enum
+candidates — its state is bounded by ``enum_max_uniques`` actual
+values per column. Distinct counts are exact below
+``anomaly.AUTO_EXACT_ROWS`` (oracle/test parity) and HyperLogLog
+sketches above it; enum candidacy is then confirmed exactly by the
+follow-up's set size, so HLL error can never produce an over-wide enum.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType, NumericType, StringType
+
+from datacheck_spark.rules import text as T
+
+# a column this complete is suggested as required (presence is static
+# in a fixed-schema DataFrame; this mirrors infer_schema's 95% bar)
+REQUIRED_THRESHOLD = 0.95
+
+
+def profile_columns(
+    df: DataFrame,
+    enum_max_uniques: int = 20,
+    approx_distinct: Optional[bool] = None,
+) -> Dict[str, Any]:
+    """One-pass per-column profile powering :func:`suggest_rules`.
+
+    Returns ``{"total": n, "columns": {col: {stats...}}}`` where string
+    columns carry ``non_null, blank, len_min, len_max, distinct`` and
+    numeric (non-boolean) columns carry ``non_null, min, max,
+    distinct``; every other type carries ``non_null`` only.
+    """
+    total = df.count()
+    out: Dict[str, Any] = {"total": total, "columns": {}}
+    if total == 0:
+        return out
+    if approx_distinct is None:
+        from datacheck_spark.anomaly import AUTO_EXACT_ROWS
+
+        approx_distinct = total > AUTO_EXACT_ROWS
+    distinct = F.approx_count_distinct if approx_distinct else F.countDistinct
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    aggs: List[Any] = []
+    for c in df.columns:
+        dt = dtypes[c]
+        aggs.append(F.count(c).alias(f"nn__{c}"))
+        if isinstance(dt, StringType):
+            aggs += [
+                F.sum(T.py_blank(F.col(c)).cast("long")).alias(f"blank__{c}"),
+                F.min(F.length(c)).alias(f"lmin__{c}"),
+                F.max(F.length(c)).alias(f"lmax__{c}"),
+                distinct(c).alias(f"uniq__{c}"),
+            ]
+        elif isinstance(dt, NumericType) and not isinstance(dt, BooleanType):
+            aggs += [
+                F.min(c).alias(f"vmin__{c}"),
+                F.max(c).alias(f"vmax__{c}"),
+                distinct(c).alias(f"uniq__{c}"),
+            ]
+    row = df.agg(*aggs).collect()[0]
+
+    # enum candidates: low-cardinality strings; confirmed exactly below
+    candidates = [
+        c
+        for c in df.columns
+        if isinstance(dtypes[c], StringType)
+        and 0 < (row[f"uniq__{c}"] or 0) <= enum_max_uniques
+    ]
+    enums: Dict[str, List[str]] = {}
+    if candidates:
+        erow = df.agg(
+            *[F.sort_array(F.collect_set(c)).alias(c) for c in candidates]
+        ).collect()[0]
+        enums = {
+            c: list(erow[c])
+            for c in candidates
+            if len(erow[c]) <= enum_max_uniques  # exact confirmation
+        }
+
+    for c in df.columns:
+        dt = dtypes[c]
+        st: Dict[str, Any] = {"non_null": row[f"nn__{c}"]}
+        if isinstance(dt, StringType):
+            st["blank"] = row[f"blank__{c}"] or 0
+            st["len_min"] = row[f"lmin__{c}"]
+            st["len_max"] = row[f"lmax__{c}"]
+            st["distinct"] = row[f"uniq__{c}"]
+            if c in enums:
+                st["enum_values"] = enums[c]
+        elif isinstance(dt, NumericType) and not isinstance(dt, BooleanType):
+            st["min"] = row[f"vmin__{c}"]
+            st["max"] = row[f"vmax__{c}"]
+            st["distinct"] = row[f"uniq__{c}"]
+        out["columns"][c] = st
+    return out
+
+
+def suggest_rules(
+    df: DataFrame,
+    enum_max_uniques: int = 20,
+    required_threshold: float = REQUIRED_THRESHOLD,
+    approx_distinct: Optional[bool] = None,
+    name: str = "suggested",
+) -> Dict[str, Any]:
+    """Suggest a validation config from observed data.
+
+    The returned dict feeds ``ruleset_from_config`` directly. Guarantee
+    (tested): every suggested rule passes on the profiled ``df``. That
+    constrains which checks may be emitted when nulls are present —
+    the compiler fails nulls for ``non_empty``/``min_length``/``enum``
+    but passes them for ``number_range``/``max_length`` — so
+    null-intolerant checks are only suggested for fully-populated
+    columns.
+
+    Per column:
+
+    - ``required`` when completeness ≥ ``required_threshold``.
+    - strings: ``non_empty`` when complete and zero blanks;
+      ``max_length`` = observed max (null-safe); ``min_length`` =
+      observed min when complete and min ≥ 1; ``enum`` of the sorted
+      observed values when complete and distinct ≤ ``enum_max_uniques``.
+    - numerics: ``number_range`` over the observed [min, max]
+      (compiler passes nulls, so safe at any completeness).
+    """
+    prof = profile_columns(
+        df, enum_max_uniques=enum_max_uniques, approx_distinct=approx_distinct
+    )
+    total = prof["total"]
+    rules: List[Dict[str, Any]] = []
+    if total == 0:
+        return {"name": name, "rules": rules}
+
+    for c in df.columns:
+        st = prof["columns"][c]
+        nn = st["non_null"]
+        complete = nn == total
+        if nn / total >= required_threshold:
+            rules.append(
+                {
+                    "field": c,
+                    "check": "required",
+                    "severity": "error",
+                    "message": f"{c} must be present",
+                }
+            )
+        if "len_min" in st and nn:  # string column with data
+            if complete and st["blank"] == 0:
+                rules.append(
+                    {
+                        "field": c,
+                        "check": "non_empty",
+                        "severity": "error",
+                        "message": f"{c} must be non-empty",
+                    }
+                )
+            if complete and st["len_min"] and st["len_min"] >= 1:
+                rules.append(
+                    {
+                        "field": c,
+                        "check": "min_length",
+                        "value": int(st["len_min"]),
+                        "severity": "warning",
+                        "message": f"{c} length >= {st['len_min']}",
+                    }
+                )
+            rules.append(
+                {
+                    "field": c,
+                    "check": "max_length",
+                    "value": int(st["len_max"]),
+                    "severity": "warning",
+                    "message": f"{c} length <= {st['len_max']}",
+                }
+            )
+            if complete and "enum_values" in st:
+                rules.append(
+                    {
+                        "field": c,
+                        "check": "enum",
+                        "values": st["enum_values"],
+                        "severity": "warning",
+                        "message": f"{c} in observed value set",
+                    }
+                )
+        elif "min" in st and nn:  # numeric column with data
+            rules.append(
+                {
+                    "field": c,
+                    "check": "number_range",
+                    "min": st["min"],
+                    "max": st["max"],
+                    "severity": "warning",
+                    "message": f"{c} in [{st['min']}, {st['max']}]",
+                }
+            )
+    return {"name": name, "rules": rules}
+
+
+def suggestions_table(spark, config: Dict[str, Any]) -> DataFrame:
+    """Flatten a suggested config into a DataFrame for inspection /
+    the driver contract: ``(field, check, p1, p2, vals)`` where p1/p2
+    carry the numeric parameter(s) and vals the comma-joined enum."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType as S,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("field", S()),
+            StructField("check", S()),
+            StructField("p1", DoubleType()),
+            StructField("p2", DoubleType()),
+            StructField("vals", S()),
+        ]
+    )
+    rows = []
+    for r in config["rules"]:
+        p1 = p2 = vals = None
+        if r["check"] in ("min_length", "max_length"):
+            p1 = float(r["value"])
+        elif r["check"] == "number_range":
+            p1 = float(r["min"])
+            p2 = float(r["max"])
+        elif r["check"] == "enum":
+            vals = ",".join(r["values"])
+        rows.append((r["field"], r["check"], p1, p2, vals))
+    return spark.createDataFrame(rows, schema)

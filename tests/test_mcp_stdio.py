@@ -109,6 +109,7 @@ def test_every_tool_dispatches(spark):
             "report_b": {"summary": {"pass_rate": 0.8}},
         },
         "diagnose_skew": {"samples": samples * 4, "key_fields": ["id"]},
+        "suggest_rules": {"samples": samples * 4},
     }
     assert set(args_by_tool) == set(TOOLS)
     msgs = [
