@@ -102,6 +102,7 @@ SECONDARY = [
     "minhash_near_dup_docs",
     "near_dedup_keep_best_docs",
     "key_skew_events",
+    "suggest_rules_events",
 ]
 
 

@@ -37,6 +37,32 @@ from datacheck_spark.rules import text as T
 REQUIRED_THRESHOLD = 0.95
 
 
+def profile_agg_frame(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
+    """The single full-scan aggregation behind :func:`profile_columns`:
+    one row with every per-column statistic (plan invariant in PLANS.md:
+    one scan, partial+final combine, no extra shuffle)."""
+    distinct = F.approx_count_distinct if approx_distinct else F.countDistinct
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    aggs: List[Any] = []
+    for c in df.columns:
+        dt = dtypes[c]
+        aggs.append(F.count(c).alias(f"nn__{c}"))
+        if isinstance(dt, StringType):
+            aggs += [
+                F.sum(T.py_blank(F.col(c)).cast("long")).alias(f"blank__{c}"),
+                F.min(F.length(c)).alias(f"lmin__{c}"),
+                F.max(F.length(c)).alias(f"lmax__{c}"),
+                distinct(c).alias(f"uniq__{c}"),
+            ]
+        elif isinstance(dt, NumericType) and not isinstance(dt, BooleanType):
+            aggs += [
+                F.min(c).alias(f"vmin__{c}"),
+                F.max(c).alias(f"vmax__{c}"),
+                distinct(c).alias(f"uniq__{c}"),
+            ]
+    return df.agg(*aggs)
+
+
 def profile_columns(
     df: DataFrame,
     enum_max_uniques: int = 20,
@@ -57,27 +83,9 @@ def profile_columns(
         from datacheck_spark.anomaly import AUTO_EXACT_ROWS
 
         approx_distinct = total > AUTO_EXACT_ROWS
-    distinct = F.approx_count_distinct if approx_distinct else F.countDistinct
 
     dtypes = {f.name: f.dataType for f in df.schema.fields}
-    aggs: List[Any] = []
-    for c in df.columns:
-        dt = dtypes[c]
-        aggs.append(F.count(c).alias(f"nn__{c}"))
-        if isinstance(dt, StringType):
-            aggs += [
-                F.sum(T.py_blank(F.col(c)).cast("long")).alias(f"blank__{c}"),
-                F.min(F.length(c)).alias(f"lmin__{c}"),
-                F.max(F.length(c)).alias(f"lmax__{c}"),
-                distinct(c).alias(f"uniq__{c}"),
-            ]
-        elif isinstance(dt, NumericType) and not isinstance(dt, BooleanType):
-            aggs += [
-                F.min(c).alias(f"vmin__{c}"),
-                F.max(c).alias(f"vmax__{c}"),
-                distinct(c).alias(f"uniq__{c}"),
-            ]
-    row = df.agg(*aggs).collect()[0]
+    row = profile_agg_frame(df, approx_distinct=approx_distinct).collect()[0]
 
     # enum candidates: low-cardinality strings; confirmed exactly below
     candidates = [

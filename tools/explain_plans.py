@@ -276,6 +276,26 @@ def main():
         ],
     )
 
+    # 12. rule-suggestion profile: every per-column stat rides ONE
+    # full-scan aggregation (partial+final), not one job per column.
+    # approx_distinct=True is the at-scale shape (the AUTO_EXACT_ROWS
+    # switch picks it above 100k rows; the exact path trades extra
+    # expand/exchange steps for oracle parity at test scale only).
+    from datacheck_spark.suggest import profile_agg_frame
+
+    add(
+        "rule-suggestion profile agg (events, at-scale approx path)",
+        profile_agg_frame(
+            spark.read.parquet(f"{sf_dir}/events.parquet"),
+            approx_distinct=True,
+        ),
+        [
+            ("partial+final combine", lambda p: "partial_" in p),
+            ("one scan", lambda p: p.count("Scan parquet") <= 2),
+            ("no shuffle beyond final agg", lambda p: p.count("Exchange") <= 2),
+        ],
+    )
+
     md = ["# PLANS — physical-plan evidence for key operators",
           "",
           "Generated by `tools/explain_plans.py` (sf0.01). Invariants",
