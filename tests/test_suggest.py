@@ -149,6 +149,36 @@ def test_suggest_cli_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
 
 
+# hypothesis: the guarantee holds for ARBITRARY small corpora, not just
+# the fixture — strings drawn to hit blank/empty/unicode edges, numerics
+# with nulls, any null pattern. One Spark job per example.
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_STR = st.one_of(
+    st.none(),
+    st.sampled_from(["", " ", "　", "a", "xy", "word salad", "é中"]),
+)
+_NUM = st.one_of(st.none(), st.sampled_from([-1.5, 0.0, 2.0, 9.25]))
+_ROWS = st.lists(st.tuples(_STR, _NUM, _STR), min_size=1, max_size=12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_ROWS)
+def test_guarantee_holds_on_arbitrary_data(spark, rows):
+    df = spark.createDataFrame(rows, "s string, x double, t string")
+    cfg = suggest_rules(df)
+    compiled = ruleset_from_config(
+        cfg, name="suggested", load_builtins=False
+    ).compile(df)
+    if not compiled:
+        return
+    agg = df.agg(
+        *[F.sum((~r.passed).cast("long")).alias(r.rule_id) for r in compiled]
+    ).collect()[0]
+    failures = {k: v for k, v in agg.asDict().items() if v}
+    assert not failures, (failures, rows)
+
+
 def test_suggestions_table_shape(spark, mixed_df):
     cfg = suggest_rules(mixed_df)
     tbl = suggestions_table(spark, cfg)
