@@ -203,8 +203,22 @@ def cmd_transcripts(args) -> int:
     from datacheck_spark.checkpoint import checkpointed_violations
 
     spark = _spark("datacheck-transcripts", args.master)
-    df = spark.read.parquet(args.data)
     checker = TranscriptChecker()
+    if args.incremental:
+        # validate only files appended since the last manifest; the
+        # full-table report is exactly what incremental mode avoids
+        from datacheck_spark.incremental import IncrementalValidator
+
+        if not args.checkpoint:
+            print("--incremental requires --checkpoint <dir>")
+            return 2
+        iv = IncrementalValidator(
+            args.checkpoint, rule_version=args.rule_version, checker=checker
+        )
+        out = iv.run(spark, args.data)
+        print(json.dumps(out, ensure_ascii=False))
+        return 0
+    df = spark.read.parquet(args.data)
     if args.checkpoint:
         state = checkpointed_violations(
             df,
@@ -565,6 +579,7 @@ def main(argv=None) -> int:
     t.add_argument("--rule-version", default="v1")
     t.add_argument("--buckets", type=int, default=32)
     t.add_argument("--threshold", type=float, default=0.0)
+    t.add_argument("--incremental", action="store_true")
     t.set_defaults(fn=cmd_transcripts)
 
     cb = sub.add_parser("contribute")

@@ -1,0 +1,282 @@
+"""Incremental validation over append-only tables.
+
+At 10^12 turns a daily append is a tiny fraction of the table;
+re-validating everything per batch is the difference between a
+minutes-long job and an unaffordable one. This module validates ONLY
+data files added since the last run and merges metrics, following the
+Iceberg data model exactly: data files are immutable — a commit ADDS
+and REMOVES whole files, never edits one in place (an Iceberg
+"incremental append scan" between two snapshot ids enumerates exactly
+the added files). Here the recursive parquet file listing IS the
+snapshot, fingerprinted by (path, size); on Iceberg the same manifest
+would key by the data-file paths in the snapshot's manifest list — the
+swap is confined to :func:`list_data_files`.
+
+Mechanics (all metadata is manifest-scale, never data-scale):
+
+- New files are validated in file groups; each group's violation rows
+  land in their own ``violations/batch=N`` directory written with
+  overwrite semantics, so a job killed after the write but before the
+  manifest commit is healed by the re-run overwriting the same batch
+  dir (the manifest's ``next_batch`` only advances on commit, and
+  readers only read committed batches).
+- Each violation row carries ``(src_file, batch)``; the live view
+  broadcast-semi-joins committed batch output against the manifest's
+  current file set, so a removed (or replaced) file's historical rows
+  vanish from the view without rewriting any parquet.
+- :meth:`IncrementalValidator.compact` folds all live rows into one
+  batch when the batch-dir count grows (the classic small-files
+  cleanup), preserving the live view exactly.
+
+Reference: the reference engine re-reads the full input every run
+(``checker.py:183-218`` loads one file per invocation); incremental
+runs are beyond-reference capability. Rule semantics are unchanged —
+rules are compiled against the table schema alone, so incremental
+violation rows are bit-identical to a from-scratch run's (tested by
+set equality in ``tests/test_incremental.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INCR_MANIFEST = "incremental.json"
+
+_FILE_URI = re.compile(r"^file:/+")
+
+
+def _norm_path(p: str) -> str:
+    """Normalize a local path / file: URI to one canonical absolute
+    form shared by the manifest and ``_metadata.file_path``."""
+    return "/" + _FILE_URI.sub("", p).lstrip("/") if p.startswith("file:") else str(Path(p).resolve())
+
+
+def list_data_files(table_path: str) -> Dict[str, int]:
+    """Current snapshot: {normalized data-file path: size}. Driver-side
+    recursive listing (metadata-scale). On Iceberg this is the ONLY
+    function to swap — enumerate the snapshot's data files instead."""
+    root = Path(table_path)
+    return {
+        _norm_path(str(p)): p.stat().st_size
+        for p in sorted(root.rglob("*.parquet"))
+        if not p.name.startswith(("_", "."))
+    }
+
+
+class IncrementalValidator:
+    """Validate only files appended since the last manifest.
+
+    ``checker`` needs ``engine`` + key columns like
+    :class:`~datacheck_spark.transcripts.TranscriptChecker` (the
+    default); ``rule_version`` participates in lineage — bumping it
+    discards the manifest so every file is revalidated under the new
+    rules.
+    """
+
+    def __init__(
+        self,
+        base_path: str,
+        rule_version: str = "v1",
+        checker=None,
+        key_cols: Optional[List[str]] = None,
+        file_group_size: int = 64,
+    ):
+        if checker is None:
+            from datacheck_spark.transcripts import TranscriptChecker
+
+            checker = TranscriptChecker()
+        self.base_path = str(base_path)
+        self.rule_version = rule_version
+        self.checker = checker
+        self.key_cols = list(key_cols or ["conv_id", "turn_idx"])
+        self.file_group_size = int(file_group_size)
+
+    # --- manifest -----------------------------------------------------
+
+    def _manifest_path(self) -> Path:
+        return Path(self.base_path) / INCR_MANIFEST
+
+    def load_state(self) -> Dict[str, Any]:
+        p = self._manifest_path()
+        if p.exists():
+            data = json.loads(p.read_text(encoding="utf-8"))
+            if data.get("rule_version") == self.rule_version:
+                return data
+        return {
+            "rule_version": self.rule_version,
+            "next_batch": 0,
+            "files": {},
+            "batches": {},
+        }
+
+    def _save_state(self, state: Dict[str, Any]) -> None:
+        Path(self.base_path).mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.base_path, suffix=".incr.tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(json.dumps(state, indent=1, sort_keys=True))
+        os.replace(tmp, self._manifest_path())
+
+    def _batch_dir(self, batch: int) -> str:
+        return str(Path(self.base_path) / "violations" / f"batch={batch}")
+
+    # --- incremental run ----------------------------------------------
+
+    def run(self, spark: SparkSession, table_path: str) -> Dict[str, Any]:
+        """One incremental pass: diff the file listing against the
+        manifest, validate added/replaced files group by group (one
+        committed batch per group — kill-and-rerun resumes at the next
+        group), drop removed files from the live set."""
+        state = self.load_state()
+        current = list_data_files(table_path)
+
+        removed = [p for p in state["files"] if p not in current]
+        replaced = [
+            p
+            for p, size in current.items()
+            if p in state["files"] and state["files"][p]["size"] != size
+        ]
+        new = [p for p in current if p not in state["files"]] + replaced
+        for p in removed + replaced:
+            del state["files"][p]
+        if removed or replaced:
+            # commit the drops even if there is nothing new to validate
+            self._save_state(state)
+
+        batches_written = []
+        for i in range(0, len(new), self.file_group_size):
+            group = new[i : i + self.file_group_size]
+            batch = int(state["next_batch"])
+            per_file = self._validate_group(spark, group, batch)
+            for p in group:
+                per_file[p]["size"] = current[p]
+                per_file[p]["batch"] = batch
+                state["files"][p] = per_file[p]
+            state["batches"][str(batch)] = {
+                "files": len(group),
+                "rows": sum(m["rows"] for m in per_file.values()),
+                "violations": sum(m["violations"] for m in per_file.values()),
+            }
+            state["next_batch"] = batch + 1
+            self._save_state(state)
+            batches_written.append(batch)
+
+        live = self.summary(state)
+        return {
+            "new_files": len(new),
+            "removed_files": len(removed),
+            "replaced_files": len(replaced),
+            "batches_written": batches_written,
+            "live": live,
+        }
+
+    def _validate_group(
+        self, spark: SparkSession, paths: List[str], batch: int
+    ) -> Dict[str, Dict[str, Any]]:
+        """Validate one group of files into its batch dir; returns
+        per-file {rows, violations}. Rules are compiled against the
+        data schema WITHOUT the src_file column so dataset-level rules
+        (non_empty over all string columns, ...) see exactly the schema
+        a full run sees."""
+        base = spark.read.parquet(*paths)
+        rules = self.checker.engine.compile(base)
+        df = base.withColumn(
+            "src_file",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+        v = self.checker.engine.violations(
+            df, key_cols=self.key_cols + ["src_file"], rules=rules
+        ).withColumn("batch", F.lit(batch))
+        # overwrite heals a previous killed run's uncommitted batch dir
+        v.write.mode("overwrite").parquet(self._batch_dir(batch))
+
+        rows = {
+            r["src_file"]: r["n"]
+            for r in df.groupBy("src_file").agg(F.count("*").alias("n")).collect()
+        }
+        viols = {
+            r["src_file"]: r["n"]
+            for r in spark.read.parquet(self._batch_dir(batch))
+            .groupBy("src_file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        return {
+            p: {"rows": int(rows.get(p, 0)), "violations": int(viols.get(p, 0))}
+            for p in paths
+        }
+
+    # --- live view ------------------------------------------------------
+
+    def live_violations(self, spark: SparkSession) -> DataFrame:
+        """All committed violation rows filtered to the CURRENT file
+        set: a broadcast semi-join on (src_file, batch) — replaced or
+        removed files' historical rows drop out without any rewrite."""
+        state = self.load_state()
+        dirs = [
+            self._batch_dir(int(b))
+            for b in sorted(state["batches"], key=int)
+            if Path(self._batch_dir(int(b))).exists()
+        ]
+        cols = self.key_cols + [
+            "rule_id", "rule_name", "severity", "observed", "src_file", "batch",
+        ]
+        if not dirs:
+            return spark.createDataFrame(
+                [], ", ".join(f"`{c}` string" for c in cols)
+            )
+        out = spark.read.parquet(*dirs)
+        live = spark.createDataFrame(
+            [(p, int(m["batch"])) for p, m in state["files"].items()]
+            or [("", -1)],
+            "src_file string, batch int",
+        )
+        return out.join(
+            F.broadcast(live), on=["src_file", "batch"], how="left_semi"
+        ).select(*cols)
+
+    def summary(self, state: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        state = state or self.load_state()
+        return {
+            "files": len(state["files"]),
+            "rows": sum(m["rows"] for m in state["files"].values()),
+            "violations": sum(m["violations"] for m in state["files"].values()),
+            "batches": len(state["batches"]),
+        }
+
+    def compact(self, spark: SparkSession) -> Dict[str, Any]:
+        """Fold all live violation rows into a single fresh batch and
+        drop superseded batch dirs — the small-files cleanup for long
+        append histories. The live view is preserved exactly."""
+        import shutil
+
+        state = self.load_state()
+        if not state["batches"]:
+            return self.summary(state)
+        target = int(state["next_batch"])
+        live = self.live_violations(spark).withColumn("batch", F.lit(target))
+        live.write.mode("overwrite").parquet(self._batch_dir(target))
+        n = spark.read.parquet(self._batch_dir(target)).count()
+
+        old = [int(b) for b in state["batches"]]
+        for p in state["files"].values():
+            p["batch"] = target
+        state["batches"] = {
+            str(target): {
+                "files": len(state["files"]),
+                "rows": sum(m["rows"] for m in state["files"].values()),
+                "violations": int(n),
+            }
+        }
+        state["next_batch"] = target + 1
+        self._save_state(state)
+        for b in old:
+            shutil.rmtree(self._batch_dir(b), ignore_errors=True)
+        return self.summary(state)
