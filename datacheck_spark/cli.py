@@ -216,8 +216,18 @@ def cmd_transcripts(args) -> int:
             args.checkpoint, rule_version=args.rule_version, checker=checker
         )
         out = iv.run(spark, args.data)
+        out["trend"] = iv.batch_trend()
         print(json.dumps(out, ensure_ascii=False))
-        return 0
+        # gate on THIS run's appends only (historical flags stay
+        # visible in trend but don't re-fail): z-deviation from the
+        # quality history when ≥2 prior batches exist, plus the same
+        # absolute pass-rate floor the report path uses (--threshold)
+        fresh = set(out["batches_written"])
+        return 1 if any(
+            t["flagged"] or (1.0 - t["violation_rate"]) < args.threshold
+            for t in out["trend"]
+            if t["batch"] in fresh
+        ) else 0
     df = spark.read.parquet(args.data)
     if args.checkpoint:
         state = checkpointed_violations(

@@ -251,6 +251,45 @@ class IncrementalValidator:
             "batches": len(state["batches"]),
         }
 
+    def batch_trend(self, z_threshold: float = 3.0) -> List[Dict[str, Any]]:
+        """Quality trend across committed batches, from manifest
+        metrics alone (no Spark job): per-batch violation rate plus a
+        z-score against all PRIOR batches, flagging an append whose
+        quality deviates from history — the alert a daily-append
+        pipeline wants before bad data compounds. Mirrors the z-score
+        convention of :mod:`datacheck_spark.anomaly` (population std,
+        flag |z| > threshold, needs ≥ 2 prior batches)."""
+        state = self.load_state()
+        out: List[Dict[str, Any]] = []
+        prior_rates: List[float] = []
+        for b in sorted(state["batches"], key=int):
+            m = state["batches"][b]
+            rate = (m["violations"] / m["rows"]) if m["rows"] else 0.0
+            z = None
+            flagged = False
+            if len(prior_rates) >= 2:
+                mean = sum(prior_rates) / len(prior_rates)
+                var = sum((r - mean) ** 2 for r in prior_rates) / len(prior_rates)
+                std = var**0.5
+                if std > 0:
+                    z = (rate - mean) / std
+                    flagged = abs(z) > z_threshold
+                else:
+                    z = 0.0 if rate == mean else float("inf")
+                    flagged = rate != mean
+            out.append(
+                {
+                    "batch": int(b),
+                    "rows": m["rows"],
+                    "violations": m["violations"],
+                    "violation_rate": rate,
+                    "z": z,
+                    "flagged": flagged,
+                }
+            )
+            prior_rates.append(rate)
+        return out
+
     def compact(self, spark: SparkSession) -> Dict[str, Any]:
         """Fold all live violation rows into a single fresh batch and
         drop superseded batch dirs — the small-files cleanup for long

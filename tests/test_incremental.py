@@ -125,6 +125,75 @@ def test_compact_preserves_live_view(spark, tmp_path, table, checker):
     assert len(list(vdir.glob("batch=*"))) == 1
 
 
+def test_batch_trend_flags_bad_append(spark, tmp_path, table, checker):
+    """A batch whose violation rate jumps against history is flagged —
+    from manifest metrics alone (no Spark job)."""
+    iv = IncrementalValidator(
+        str(tmp_path / "ckpt"), checker=checker, file_group_size=1
+    )
+    iv.run(spark, str(table))  # 3 similar-quality batches
+    # append an all-blank batch: ~100% non_empty violation rate
+    bad = (
+        spark.range(40)
+        .select(
+            F.concat(F.lit("bad_"), F.col("id").cast("string")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("   ").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        )
+        .withColumn(
+            "conv_bucket",
+            F.pmod(F.xxhash64("conv_id"), F.lit(32)).cast("int"),
+        )
+    )
+    _write(bad, table, n_files=1)
+    iv.run(spark, str(table))
+    trend = iv.batch_trend()
+    assert len(trend) == 4
+    assert not any(t["flagged"] for t in trend[:3])
+    assert trend[3]["flagged"] and trend[3]["violation_rate"] > 0.9
+
+
+def test_cli_incremental_gate(spark, tmp_path, table, capsys):
+    """`transcripts --incremental` gates THIS run's appends on the
+    pass-rate floor (and z-deviation when history allows); historical
+    failures stay visible in trend but don't re-fail later runs."""
+    import json as _json
+
+    from datacheck_spark.cli import main
+
+    args = [
+        "transcripts", str(table),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--incremental", "--threshold", "0.9",
+    ]
+    assert main(args) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["new_files"] == 3 and out["trend"]
+
+    bad = (
+        spark.range(50)
+        .select(
+            F.concat(F.lit("bad_"), F.col("id").cast("string")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("   ").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        )
+        .withColumn(
+            "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(32)).cast("int")
+        )
+    )
+    _write(bad, table, n_files=1)
+    assert main(args) == 1  # fresh append below the pass-rate floor
+    capsys.readouterr()
+    assert main(args) == 0  # no-op rerun: history doesn't re-fail
+    capsys.readouterr()
+
+
 def test_group_commit_resume(spark, tmp_path, table, checker):
     """A killed run resumes at the next uncommitted group: simulate by
     running with file_group_size=1 and checking per-group manifest
