@@ -373,6 +373,7 @@ def near_duplicate_pairs_lsh(
     ngram_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    persist_base: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding + exact Jaccard
     verification — the 10^12-row replacement for the O(n²) join.
@@ -401,6 +402,16 @@ def near_duplicate_pairs_lsh(
         .where(F.size("__g") > 0)
         .withColumn("__sig", minhash_signature(F.col("__g"), num_hashes))
     )
+    # gram extraction is the pipeline's CPU hot spot and base feeds
+    # THREE consumers (band entries + both verify-join gram sides);
+    # without persistence each consumer re-runs the interpreted n-gram
+    # walk over the full corpus. MEMORY_AND_DISK spills rather than
+    # OOMs at scale; the ContextCleaner unpersists once the frame is
+    # GC'd.
+    if persist_base:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     band_entries = base.select(
         "__id",
         "__g",
