@@ -164,7 +164,9 @@ def checkpointed_violations(
 
     def job(part: DataFrame, group: Sequence[int]) -> Dict[str, Any]:
         spark = part.sparkSession
-        v = checker.violations(part).withColumn(
+        # order-insensitive store: skip the global sort (its range-
+        # sampling job would re-run the fused rule pass a second time)
+        v = checker.violations(part, ordered=False).withColumn(
             "bucket",
             F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
         )

@@ -140,13 +140,19 @@ class ValidationEngine:
         df: DataFrame,
         key_cols: Sequence[str],
         rules: Optional[List[CompiledRule]] = None,
+        ordered: bool = True,
     ) -> DataFrame:
         """Long-form violation rows, stably ordered by the key columns.
 
         One pass: fused rule projection → array-of-structs for failed
-        rules → ``explode``. No shuffle except the final global sort
-        (which callers can drop via ``.sortWithinPartitions`` when
-        writing partition-ordered output at scale).
+        rules → ``explode``. No shuffle except the final global sort.
+        ``ordered=False`` swaps it for ``sortWithinPartitions``: a
+        global ``orderBy`` under a WRITE costs a second full pass (the
+        range partitioner's sampling job re-runs the fused rule
+        projection — measured 96s vs 45s on the 8.36M-turn bench
+        table), so the violation-store writers (checkpoint/incremental,
+        whose identity checks are order-insensitive) opt out; the
+        user-facing parity contract keeps the stable global order.
         """
         rules = rules if rules is not None else self.compile(df)
         entries = []
@@ -167,15 +173,13 @@ class ValidationEngine:
                     ),
                 )
             )
-        out = (
-            df.select(
-                *key_cols,
-                F.explode(F.array_compact(F.array(*entries))).alias("__v"),
-            )
-            .select(*key_cols, "__v.*")
-            .orderBy(*key_cols, "rule_id")
-        )
-        return out
+        out = df.select(
+            *key_cols,
+            F.explode(F.array_compact(F.array(*entries))).alias("__v"),
+        ).select(*key_cols, "__v.*")
+        if ordered:
+            return out.orderBy(*key_cols, "rule_id")
+        return out.sortWithinPartitions(*key_cols, "rule_id")
 
     # -- summary ----------------------------------------------------------
 

@@ -191,8 +191,13 @@ class IncrementalValidator:
             "src_file",
             F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
         )
+        # order-insensitive store: ordered=False avoids the global
+        # sort's range-sampling job re-running the fused rule pass
         v = self.checker.engine.violations(
-            df, key_cols=self.key_cols + ["src_file"], rules=rules
+            df,
+            key_cols=self.key_cols + ["src_file"],
+            rules=rules,
+            ordered=False,
         ).withColumn("batch", F.lit(batch))
         # overwrite heals a previous killed run's uncommitted batch dir
         v.write.mode("overwrite").parquet(self._batch_dir(batch))

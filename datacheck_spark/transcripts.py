@@ -372,10 +372,13 @@ class TranscriptChecker:
     def annotated(self, df: DataFrame) -> DataFrame:
         return self.engine.annotate(df)
 
-    def violations(self, df: DataFrame) -> DataFrame:
+    def violations(self, df: DataFrame, ordered: bool = True) -> DataFrame:
         """(conv_id, turn_idx, rule_id, observed) under stable turn
-        ordering — the exact violation-row contract."""
-        return self.engine.violations(df, key_cols=["conv_id", "turn_idx"])
+        ordering — the exact violation-row contract. ``ordered=False``
+        for order-insensitive stores (see ``engine.violations``)."""
+        return self.engine.violations(
+            df, key_cols=["conv_id", "turn_idx"], ordered=ordered
+        )
 
     def run(
         self,
