@@ -55,8 +55,20 @@ _FILE_URI = re.compile(r"^file:/+")
 
 def _norm_path(p: str) -> str:
     """Normalize a local path / file: URI to one canonical absolute
-    form shared by the manifest and ``_metadata.file_path``."""
-    return "/" + _FILE_URI.sub("", p).lstrip("/") if p.startswith("file:") else str(Path(p).resolve())
+    form shared by the manifest and ``_metadata.file_path``: the
+    scheme-stripped URI path. Spark reports file paths PERCENT-ENCODED
+    (``file:/a/space%20dir/...``) and ``Path.as_uri()`` encodes the
+    same way, so keys match for spaces/non-ASCII too; use
+    :func:`key_to_path` to get the real filesystem path back."""
+    uri = p if p.startswith("file:") else Path(p).resolve().as_uri()
+    return "/" + _FILE_URI.sub("", uri).lstrip("/")
+
+
+def key_to_path(key: str) -> str:
+    """Manifest key (percent-encoded URI path) → filesystem path."""
+    from urllib.parse import unquote
+
+    return unquote(key)
 
 
 def list_data_files(table_path: str) -> Dict[str, int]:
@@ -185,7 +197,7 @@ class IncrementalValidator:
         data schema WITHOUT the src_file column so dataset-level rules
         (non_empty over all string columns, ...) see exactly the schema
         a full run sees."""
-        base = spark.read.parquet(*paths)
+        base = spark.read.parquet(*[key_to_path(p) for p in paths])
         rules = self.checker.engine.compile(base)
         df = base.withColumn(
             "src_file",

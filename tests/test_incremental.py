@@ -12,7 +12,11 @@ from pathlib import Path
 import pytest
 from pyspark.sql import functions as F
 
-from datacheck_spark.incremental import IncrementalValidator, list_data_files
+from datacheck_spark.incremental import (
+    IncrementalValidator,
+    key_to_path,
+    list_data_files,
+)
 from datacheck_spark.transcripts import TranscriptChecker, generate_transcripts
 
 
@@ -92,7 +96,7 @@ def test_removed_file_leaves_live_view(spark, tmp_path, table, checker):
     iv = IncrementalValidator(str(tmp_path / "ckpt"), checker=checker)
     iv.run(spark, str(table))
     victim = sorted(list_data_files(str(table)))[0]
-    os.remove(victim)
+    os.remove(key_to_path(victim))
     out = iv.run(spark, str(table))
     assert out["removed_files"] == 1 and out["new_files"] == 0
     full = checker.violations(spark.read.parquet(str(table)))
@@ -123,6 +127,23 @@ def test_compact_preserves_live_view(spark, tmp_path, table, checker):
     # superseded batch dirs are gone
     vdir = Path(iv.base_path) / "violations"
     assert len(list(vdir.glob("batch=*"))) == 1
+
+
+def test_percent_encoded_paths_match(spark, tmp_path, checker):
+    """Spark reports data-file paths percent-encoded; manifest keys use
+    the same encoding so a table under a spaced directory still matches
+    between the listing and the live-view semi-join."""
+    t = tmp_path / "space dir" / "transcripts"
+    df = generate_transcripts(spark, n_convs=20, turns_per_conv=5, seed=11)
+    _write(df, t, n_files=2)
+    iv = IncrementalValidator(str(tmp_path / "ckpt"), checker=checker)
+    out = iv.run(spark, str(t))
+    assert out["new_files"] == 2
+    assert "%20" in sorted(iv.load_state()["files"])[0]
+    full = checker.violations(spark.read.parquet(str(t)))
+    assert _vset(iv.live_violations(spark)) == _vset(full)
+    # no-op rerun: keys stable across listing round-trips
+    assert iv.run(spark, str(t))["new_files"] == 0
 
 
 def test_batch_trend_flags_bad_append(spark, tmp_path, table, checker):
