@@ -219,12 +219,14 @@ def cmd_transcripts(args) -> int:
         out["trend"] = iv.batch_trend()
         print(json.dumps(out, ensure_ascii=False))
         # gate on THIS run's appends only (historical flags stay
-        # visible in trend but don't re-fail): z-deviation from the
+        # visible in trend but don't re-fail): z-degradation vs the
         # quality history when ≥2 prior batches exist, plus the same
-        # absolute pass-rate floor the report path uses (--threshold)
+        # absolute pass-rate floor the report path uses (--threshold;
+        # error_row_rate counts distinct error-severity rows, the unit
+        # report pass_rate is defined in — warnings don't gate)
         fresh = set(out["batches_written"])
         return 1 if any(
-            t["flagged"] or (1.0 - t["violation_rate"]) < args.threshold
+            t["flagged"] or (1.0 - t["error_row_rate"]) < args.threshold
             for t in out["trend"]
             if t["batch"] in fresh
         ) else 0

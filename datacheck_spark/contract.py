@@ -2178,43 +2178,43 @@ def key_skew_events(spark, sf_dir):
     )
     SELECT 'event_id' AS field, 'required' AS "check",
            NULL::DOUBLE AS p1, NULL::DOUBLE AS p2, NULL::VARCHAR AS vals
-      FROM p WHERE nn_eid >= 0.95 * total
+      FROM p WHERE total > 0 AND nn_eid >= 0.95 * total
     UNION ALL SELECT 'event_id', 'number_range', mn_eid::DOUBLE, mx_eid::DOUBLE, NULL
-      FROM p WHERE nn_eid > 0
+      FROM p WHERE total > 0 AND nn_eid > 0
     UNION ALL SELECT 'ts', 'required', NULL, NULL, NULL
-      FROM p WHERE nn_ts >= 0.95 * total
+      FROM p WHERE total > 0 AND nn_ts >= 0.95 * total
     UNION ALL SELECT 'user_id', 'required', NULL, NULL, NULL
-      FROM p WHERE nn_uid >= 0.95 * total
+      FROM p WHERE total > 0 AND nn_uid >= 0.95 * total
     UNION ALL SELECT 'user_id', 'number_range', mn_uid::DOUBLE, mx_uid::DOUBLE, NULL
-      FROM p WHERE nn_uid > 0
+      FROM p WHERE total > 0 AND nn_uid > 0
     UNION ALL SELECT 'event_type', 'required', NULL, NULL, NULL
-      FROM p WHERE nn_et >= 0.95 * total
+      FROM p WHERE total > 0 AND nn_et >= 0.95 * total
     UNION ALL SELECT 'event_type', 'non_empty', NULL, NULL, NULL
-      FROM p WHERE nn_et = total AND bl_et = 0
+      FROM p WHERE total > 0 AND nn_et = total AND bl_et = 0
     UNION ALL SELECT 'event_type', 'min_length', lmn_et::DOUBLE, NULL, NULL
-      FROM p WHERE nn_et = total AND lmn_et >= 1
+      FROM p WHERE total > 0 AND nn_et = total AND lmn_et >= 1
     UNION ALL SELECT 'event_type', 'max_length', lmx_et::DOUBLE, NULL, NULL
-      FROM p WHERE nn_et > 0
+      FROM p WHERE total > 0 AND nn_et > 0
     UNION ALL SELECT 'event_type', 'enum', NULL, NULL,
            (SELECT string_agg(v, ',' ORDER BY v)
               FROM (SELECT DISTINCT event_type AS v FROM events))
-      FROM p WHERE nn_et = total AND u_et <= 20
+      FROM p WHERE total > 0 AND nn_et = total AND u_et <= 20
     UNION ALL SELECT 'value', 'required', NULL, NULL, NULL
-      FROM p WHERE nn_val >= 0.95 * total
+      FROM p WHERE total > 0 AND nn_val >= 0.95 * total
     UNION ALL SELECT 'value', 'number_range', mn_val, mx_val, NULL
-      FROM p WHERE nn_val > 0
+      FROM p WHERE total > 0 AND nn_val > 0
     UNION ALL SELECT 'props', 'required', NULL, NULL, NULL
-      FROM p WHERE nn_props >= 0.95 * total
+      FROM p WHERE total > 0 AND nn_props >= 0.95 * total
     UNION ALL SELECT 'props', 'non_empty', NULL, NULL, NULL
-      FROM p WHERE nn_props = total AND bl_props = 0
+      FROM p WHERE total > 0 AND nn_props = total AND bl_props = 0
     UNION ALL SELECT 'props', 'min_length', lmn_props::DOUBLE, NULL, NULL
-      FROM p WHERE nn_props = total AND lmn_props >= 1
+      FROM p WHERE total > 0 AND nn_props = total AND lmn_props >= 1
     UNION ALL SELECT 'props', 'max_length', lmx_props::DOUBLE, NULL, NULL
-      FROM p WHERE nn_props > 0
+      FROM p WHERE total > 0 AND nn_props > 0
     UNION ALL SELECT 'props', 'enum', NULL, NULL,
            (SELECT string_agg(v, ',' ORDER BY v)
               FROM (SELECT DISTINCT props AS v FROM events))
-      FROM p WHERE nn_props = total AND u_props <= 20
+      FROM p WHERE total > 0 AND nn_props = total AND u_props <= 20
     """,
 )
 def suggest_rules_events(spark, sf_dir):

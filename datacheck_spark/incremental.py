@@ -71,16 +71,29 @@ def key_to_path(key: str) -> str:
     return unquote(key)
 
 
-def list_data_files(table_path: str) -> Dict[str, int]:
-    """Current snapshot: {normalized data-file path: size}. Driver-side
-    recursive listing (metadata-scale). On Iceberg this is the ONLY
-    function to swap — enumerate the snapshot's data files instead."""
+def _parquet_num_rows(path: str) -> int:
+    """Exact row count from the parquet footer — metadata-scale, no
+    data read (same discipline as :func:`list_data_files`)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def list_data_files(table_path: str) -> Dict[str, Dict[str, int]]:
+    """Current snapshot: {normalized data-file path: {size, mtime}}.
+    Driver-side recursive listing (metadata-scale). The fingerprint is
+    (size, mtime_ns) so an in-place rewrite that happens to keep the
+    byte size is still detected as a replacement. On Iceberg this is
+    the ONLY function to swap — enumerate the snapshot's data files
+    instead (there the snapshot id itself is the fingerprint)."""
     root = Path(table_path)
-    return {
-        _norm_path(str(p)): p.stat().st_size
-        for p in sorted(root.rglob("*.parquet"))
-        if not p.name.startswith(("_", "."))
-    }
+    out: Dict[str, Dict[str, int]] = {}
+    for p in sorted(root.rglob("*.parquet")):
+        if p.name.startswith(("_", ".")):
+            continue
+        st = p.stat()
+        out[_norm_path(str(p))] = {"size": st.st_size, "mtime": st.st_mtime_ns}
+    return out
 
 
 class IncrementalValidator:
@@ -152,8 +165,12 @@ class IncrementalValidator:
         removed = [p for p in state["files"] if p not in current]
         replaced = [
             p
-            for p, size in current.items()
-            if p in state["files"] and state["files"][p]["size"] != size
+            for p, fp in current.items()
+            if p in state["files"]
+            and (
+                state["files"][p]["size"] != fp["size"]
+                or state["files"][p].get("mtime") != fp["mtime"]
+            )
         ]
         new = [p for p in current if p not in state["files"]] + replaced
         for p in removed + replaced:
@@ -168,13 +185,14 @@ class IncrementalValidator:
             batch = int(state["next_batch"])
             per_file = self._validate_group(spark, group, batch)
             for p in group:
-                per_file[p]["size"] = current[p]
+                per_file[p].update(current[p])  # size + mtime fingerprint
                 per_file[p]["batch"] = batch
                 state["files"][p] = per_file[p]
             state["batches"][str(batch)] = {
                 "files": len(group),
                 "rows": sum(m["rows"] for m in per_file.values()),
                 "violations": sum(m["violations"] for m in per_file.values()),
+                "error_rows": sum(m["error_rows"] for m in per_file.values()),
             }
             state["next_batch"] = batch + 1
             self._save_state(state)
@@ -193,10 +211,15 @@ class IncrementalValidator:
         self, spark: SparkSession, paths: List[str], batch: int
     ) -> Dict[str, Dict[str, Any]]:
         """Validate one group of files into its batch dir; returns
-        per-file {rows, violations}. Rules are compiled against the
-        data schema WITHOUT the src_file column so dataset-level rules
-        (non_empty over all string columns, ...) see exactly the schema
-        a full run sees."""
+        per-file {rows, violations, error_rows}. Rules are compiled
+        against the data schema WITHOUT the src_file column so
+        dataset-level rules (non_empty over all string columns, ...)
+        see exactly the schema a full run sees.
+
+        Exactly ONE data scan per group (the violations write): row
+        counts come from the parquet footers driver-side, and the
+        violation/error-row metrics aggregate the just-written batch
+        output (violation-scale, not data-scale)."""
         base = spark.read.parquet(*[key_to_path(p) for p in paths])
         rules = self.checker.engine.compile(base)
         df = base.withColumn(
@@ -214,19 +237,30 @@ class IncrementalValidator:
         # overwrite heals a previous killed run's uncommitted batch dir
         v.write.mode("overwrite").parquet(self._batch_dir(batch))
 
-        rows = {
-            r["src_file"]: r["n"]
-            for r in df.groupBy("src_file").agg(F.count("*").alias("n")).collect()
-        }
-        viols = {
-            r["src_file"]: r["n"]
+        rows = {p: _parquet_num_rows(key_to_path(p)) for p in paths}
+        # error_rows = distinct failing rows at ERROR severity — the
+        # unit the report path's pass_rate gate counts in
+        stats = {
+            r["src_file"]: r
             for r in spark.read.parquet(self._batch_dir(batch))
             .groupBy("src_file")
-            .agg(F.count("*").alias("n"))
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct(
+                    F.when(
+                        F.col("severity") == "error",
+                        F.struct(*self.key_cols),
+                    )
+                ).alias("err_rows"),
+            )
             .collect()
         }
         return {
-            p: {"rows": int(rows.get(p, 0)), "violations": int(viols.get(p, 0))}
+            p: {
+                "rows": int(rows.get(p, 0)),
+                "violations": int(stats[p]["n"]) if p in stats else 0,
+                "error_rows": int(stats[p]["err_rows"]) if p in stats else 0,
+            }
             for p in paths
         }
 
@@ -246,9 +280,14 @@ class IncrementalValidator:
             "rule_id", "rule_name", "severity", "observed", "src_file", "batch",
         ]
         if not dirs:
-            return spark.createDataFrame(
-                [], ", ".join(f"`{c}` string" for c in cols)
+            # nothing committed yet: empty frame with batch typed like
+            # the real output; key-col types are unknowable here, so
+            # they default to string (consistent once batches exist)
+            schema = ", ".join(
+                f"`{c}` int" if c == "batch" else f"`{c}` string"
+                for c in cols
             )
+            return spark.createDataFrame([], schema)
         out = spark.read.parquet(*dirs)
         live = spark.createDataFrame(
             [(p, int(m["batch"])) for p, m in state["files"].items()]
@@ -261,27 +300,37 @@ class IncrementalValidator:
 
     def summary(self, state: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         state = state or self.load_state()
+        files = state["files"].values()
         return {
             "files": len(state["files"]),
-            "rows": sum(m["rows"] for m in state["files"].values()),
-            "violations": sum(m["violations"] for m in state["files"].values()),
+            "rows": sum(m["rows"] for m in files),
+            "violations": sum(m["violations"] for m in files),
+            "error_rows": sum(
+                m.get("error_rows", m["violations"]) for m in files
+            ),
             "batches": len(state["batches"]),
         }
 
     def batch_trend(self, z_threshold: float = 3.0) -> List[Dict[str, Any]]:
         """Quality trend across committed batches, from manifest
-        metrics alone (no Spark job): per-batch violation rate plus a
-        z-score against all PRIOR batches, flagging an append whose
-        quality deviates from history — the alert a daily-append
-        pipeline wants before bad data compounds. Mirrors the z-score
+        metrics alone (no Spark job): per-batch ERROR-ROW rate (the
+        same unit the report path's pass-rate gate counts in —
+        distinct rows failing an error-severity rule; warning rows
+        don't gate) plus a z-score against all PRIOR batches. Flags
+        only DEGRADATION (z > threshold) — an unusually clean append
+        is good news, not a gate failure. Mirrors the z-score
         convention of :mod:`datacheck_spark.anomaly` (population std,
-        flag |z| > threshold, needs ≥ 2 prior batches)."""
+        needs ≥ 2 prior batches); z is None while history is too short
+        and when the prior rates have zero spread (then any worse rate
+        flags outright). All values are JSON-safe (no infinities)."""
         state = self.load_state()
         out: List[Dict[str, Any]] = []
         prior_rates: List[float] = []
         for b in sorted(state["batches"], key=int):
             m = state["batches"][b]
-            rate = (m["violations"] / m["rows"]) if m["rows"] else 0.0
+            # old manifests predate error_rows; fall back to violations
+            errs = m.get("error_rows", m["violations"])
+            rate = (errs / m["rows"]) if m["rows"] else 0.0
             z = None
             flagged = False
             if len(prior_rates) >= 2:
@@ -290,16 +339,16 @@ class IncrementalValidator:
                 std = var**0.5
                 if std > 0:
                     z = (rate - mean) / std
-                    flagged = abs(z) > z_threshold
+                    flagged = z > z_threshold
                 else:
-                    z = 0.0 if rate == mean else float("inf")
-                    flagged = rate != mean
+                    flagged = rate > mean
             out.append(
                 {
                     "batch": int(b),
                     "rows": m["rows"],
                     "violations": m["violations"],
-                    "violation_rate": rate,
+                    "error_rows": errs,
+                    "error_row_rate": rate,
                     "z": z,
                     "flagged": flagged,
                 }
@@ -329,6 +378,10 @@ class IncrementalValidator:
                 "files": len(state["files"]),
                 "rows": sum(m["rows"] for m in state["files"].values()),
                 "violations": int(n),
+                "error_rows": sum(
+                    m.get("error_rows", m["violations"])
+                    for m in state["files"].values()
+                ),
             }
         }
         state["next_batch"] = target + 1

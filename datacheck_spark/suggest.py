@@ -43,7 +43,7 @@ def profile_agg_frame(df: DataFrame, approx_distinct: bool = False) -> DataFrame
     one scan, partial+final combine, no extra shuffle)."""
     distinct = F.approx_count_distinct if approx_distinct else F.countDistinct
     dtypes = {f.name: f.dataType for f in df.schema.fields}
-    aggs: List[Any] = []
+    aggs: List[Any] = [F.count(F.lit(1)).alias("__total")]
     for c in df.columns:
         dt = dtypes[c]
         aggs.append(F.count(c).alias(f"nn__{c}"))
@@ -74,18 +74,26 @@ def profile_columns(
     columns carry ``non_null, blank, len_min, len_max, distinct`` and
     numeric (non-boolean) columns carry ``non_null, min, max,
     distinct``; every other type carries ``non_null`` only.
+
+    Job count: one full-scan aggregation when ``approx_distinct`` is
+    given (the row total rides the agg as ``__total``); the size-aware
+    default needs the row count BEFORE choosing exact vs sketch, so it
+    adds a ``df.count()`` first — metadata-only on parquet sources.
     """
-    total = df.count()
-    out: Dict[str, Any] = {"total": total, "columns": {}}
-    if total == 0:
-        return out
     if approx_distinct is None:
         from datacheck_spark.anomaly import AUTO_EXACT_ROWS
 
+        total = df.count()
+        if total == 0:
+            return {"total": 0, "columns": {}}
         approx_distinct = total > AUTO_EXACT_ROWS
 
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     row = profile_agg_frame(df, approx_distinct=approx_distinct).collect()[0]
+    total = row["__total"]
+    out: Dict[str, Any] = {"total": total, "columns": {}}
+    if total == 0:
+        return out
 
     # enum candidates: low-cardinality strings; confirmed exactly below
     candidates = [

@@ -174,7 +174,7 @@ def test_batch_trend_flags_bad_append(spark, tmp_path, table, checker):
     trend = iv.batch_trend()
     assert len(trend) == 4
     assert not any(t["flagged"] for t in trend[:3])
-    assert trend[3]["flagged"] and trend[3]["violation_rate"] > 0.9
+    assert trend[3]["flagged"] and trend[3]["error_row_rate"] > 0.9
 
 
 def test_cli_incremental_gate(spark, tmp_path, table, capsys):
