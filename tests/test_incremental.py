@@ -215,6 +215,46 @@ def test_cli_incremental_gate(spark, tmp_path, table, capsys):
     capsys.readouterr()
 
 
+def test_random_histories_preserve_identity(spark, tmp_path, checker):
+    """State-machine check: under a random add/remove/compact history
+    the live view equals a from-scratch run after EVERY step."""
+    import random
+
+    rng = random.Random(1234)
+    t = tmp_path / "tbl"
+    iv = IncrementalValidator(
+        str(tmp_path / "ckpt"), checker=checker, file_group_size=2
+    )
+    next_id = [0]
+
+    def add_file():
+        df = generate_transcripts(
+            spark, n_convs=8, turns_per_conv=4, n_hot_convs=0,
+            seed=50 + next_id[0],
+        ).withColumn(
+            "conv_id",
+            F.concat(F.lit(f"f{next_id[0]}_"), F.col("conv_id")),
+        )
+        _write(df, t, n_files=1)
+        next_id[0] += 1
+
+    add_file()
+    add_file()
+    iv.run(spark, str(t))
+    ops = ["add", "add", "remove", "compact", "add", "remove", "add"]
+    for op in ops:
+        files = sorted(list_data_files(str(t)))
+        if op == "add" or (op == "remove" and len(files) <= 1):
+            add_file()
+        elif op == "remove":
+            os.remove(key_to_path(rng.choice(files)))
+        elif op == "compact":
+            iv.compact(spark)
+        iv.run(spark, str(t))
+        full = checker.violations(spark.read.parquet(str(t)))
+        assert _vset(iv.live_violations(spark)) == _vset(full), op
+
+
 def test_group_commit_resume(spark, tmp_path, table, checker):
     """A killed run resumes at the next uncommitted group: simulate by
     running with file_group_size=1 and checking per-group manifest
