@@ -2230,6 +2230,44 @@ def suggest_rules_events(spark, sf_dir):
     return suggestions_table(spark, suggest_rules(df))
 
 
+@_q(
+    "json_checks_events",
+    """
+    SELECT event_id,
+           coalesce(json_valid(props), FALSE) AS json_ok,
+           coalesce(json_extract_string(props, '$.k') IS NOT NULL
+                    AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                        IS NOT NULL
+                    AND CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                        BETWEEN 0 AND 50,
+                    FALSE) AS k_in_range,
+           coalesce(json_extract_string(props, '$.missing') IS NOT NULL,
+                    FALSE) AS missing_path
+    FROM events ORDER BY event_id
+    """,
+)
+def json_checks_events(spark, sf_dir):
+    """Beyond-reference semi-structured checks (SURVEY §2.3 extension):
+    ``json_valid`` and ``json_path`` compiled through the REAL config
+    compiler (``rules/compiler.py::_config_check_column``) over the
+    events JSON payload column — native try_parse_json /
+    get_json_object Columns, no Python."""
+    from datacheck_spark.rules.compiler import _config_check_column
+
+    df = _t(spark, sf_dir, "events")
+    jv = _config_check_column(df, "props", "json_valid", {})
+    jk = _config_check_column(
+        df, "props", "json_path", {"path": "$.k", "min": 0, "max": 50}
+    )
+    jm = _config_check_column(df, "props", "json_path", {"path": "$.missing"})
+    return df.select(
+        "event_id",
+        jv.alias("json_ok"),
+        jk.alias("k_in_range"),
+        jm.alias("missing_path"),
+    ).orderBy("event_id")
+
+
 def queries() -> Dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -673,6 +673,34 @@ def _config_check_column(
             F.when(d.isNull(), F.lit(False)).otherwise(in_range)
         )
 
+    # --- beyond-reference: semi-structured (JSON-string) checks --------
+    # Agent/transcript tables routinely carry JSON payload columns
+    # (tool args, metadata); these stay native Column exprs
+    # (try_parse_json / get_json_object), never Python.
+
+    if check_type == "json_valid":
+        # null / non-JSON text fails; any valid JSON document passes
+        s = c.cast("string")
+        return F.coalesce(F.try_parse_json(s).isNotNull(), F.lit(False))
+
+    if check_type == "json_path":
+        # path (e.g. "$.k") must exist; with min/max the extracted
+        # value must also parse as a number in the closed range. Null
+        # field or missing path fails.
+        path = rule_def.get("path", "$")
+        s = c.cast("string")
+        v = F.get_json_object(s, path)
+        ok = v.isNotNull()
+        mn, mx = rule_def.get("min"), rule_def.get("max")
+        if mn is not None or mx is not None:
+            d = v.try_cast("double")
+            ok = ok & d.isNotNull()
+            if mn is not None:
+                ok = ok & (d >= mn)
+            if mx is not None:
+                ok = ok & (d <= mx)
+        return F.coalesce(ok, F.lit(False))
+
     raise ValueError(f"unknown check type: {check_type}")
 
 
@@ -721,6 +749,8 @@ def _eval_condition_column(val: Column, operator: str, target: Any) -> Column:
 KNOWN_CHECK_TYPES = {
     "required", "non_empty", "min_length", "max_length", "regex",
     "enum", "conditional_required", "number_range",
+    # beyond-reference: semi-structured JSON-string payload checks
+    "json_valid", "json_path",
 }
 
 

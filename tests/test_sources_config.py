@@ -153,6 +153,52 @@ def test_yaml_config_compiler(spark):
     )
 
 
+def test_json_check_types(spark):
+    """Beyond-reference json_valid / json_path config checks: native
+    Column semantics over JSON payload strings (null fails both;
+    scalar JSON is valid; missing path fails; range gates on the
+    extracted value)."""
+    from datacheck_spark.rules.compiler import _config_check_column
+
+    df = spark.createDataFrame(
+        [
+            ("valid_obj", '{"k": 42}'),
+            ("valid_scalar", "89"),
+            ("invalid", "nope"),
+            ("nul", None),
+            ("k_out_of_range", '{"k": 99}'),
+            ("k_not_number", '{"k": "x"}'),
+        ],
+        "id string, props string",
+    )
+    jv = _config_check_column(df, "props", "json_valid", {})
+    jk = _config_check_column(
+        df, "props", "json_path", {"path": "$.k", "min": 0, "max": 50}
+    )
+    jm = _config_check_column(df, "props", "json_path", {"path": "$.m"})
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", jv.alias("jv"), jk.alias("jk"), jm.alias("jm")
+        ).collect()
+    }
+    assert {k: v["jv"] for k, v in rows.items()} == {
+        "valid_obj": True, "valid_scalar": True, "invalid": False,
+        "nul": False, "k_out_of_range": True, "k_not_number": True,
+    }
+    assert {k: v["jk"] for k, v in rows.items()} == {
+        "valid_obj": True, "valid_scalar": False, "invalid": False,
+        "nul": False, "k_out_of_range": False, "k_not_number": False,
+    }
+    assert not any(v["jm"] for v in rows.values())
+    # and through the YAML round-trip
+    rs = ruleset_from_config(
+        {"rules": [{"field": "props", "check": "json_valid"}]},
+        load_builtins=False,
+    )
+    assert "config_props_json_valid_0" in rs.rules
+
+
 def test_config_unknown_check_raises():
     # reference raises at config-load time (rules.py:338-339)
     with pytest.raises(ValueError, match="unknown check type"):
