@@ -2167,11 +2167,15 @@ def key_skew_events(spark, sf_dir):
              count(user_id) AS nn_uid, min(user_id) AS mn_uid, max(user_id) AS mx_uid,
              count(event_type) AS nn_et,
              sum(CASE WHEN trim(event_type) = '' THEN 1 ELSE 0 END) AS bl_et,
+             sum(CASE WHEN event_type IS NOT NULL
+                      AND NOT json_valid(event_type) THEN 1 ELSE 0 END) AS nj_et,
              min(length(event_type)) AS lmn_et, max(length(event_type)) AS lmx_et,
              count(DISTINCT event_type) AS u_et,
              count(value) AS nn_val, min(value) AS mn_val, max(value) AS mx_val,
              count(props) AS nn_props,
              sum(CASE WHEN trim(props) = '' THEN 1 ELSE 0 END) AS bl_props,
+             sum(CASE WHEN props IS NOT NULL
+                      AND NOT json_valid(props) THEN 1 ELSE 0 END) AS nj_props,
              min(length(props)) AS lmn_props, max(length(props)) AS lmx_props,
              count(DISTINCT props) AS u_props
       FROM events
@@ -2195,6 +2199,8 @@ def key_skew_events(spark, sf_dir):
       FROM p WHERE total > 0 AND nn_et = total AND lmn_et >= 1
     UNION ALL SELECT 'event_type', 'max_length', lmx_et::DOUBLE, NULL, NULL
       FROM p WHERE total > 0 AND nn_et > 0
+    UNION ALL SELECT 'event_type', 'json_valid', NULL, NULL, NULL
+      FROM p WHERE total > 0 AND nn_et = total AND nj_et = 0
     UNION ALL SELECT 'event_type', 'enum', NULL, NULL,
            (SELECT string_agg(v, ',' ORDER BY v)
               FROM (SELECT DISTINCT event_type AS v FROM events))
@@ -2211,6 +2217,8 @@ def key_skew_events(spark, sf_dir):
       FROM p WHERE total > 0 AND nn_props = total AND lmn_props >= 1
     UNION ALL SELECT 'props', 'max_length', lmx_props::DOUBLE, NULL, NULL
       FROM p WHERE total > 0 AND nn_props > 0
+    UNION ALL SELECT 'props', 'json_valid', NULL, NULL, NULL
+      FROM p WHERE total > 0 AND nn_props = total AND nj_props = 0
     UNION ALL SELECT 'props', 'enum', NULL, NULL,
            (SELECT string_agg(v, ',' ORDER BY v)
               FROM (SELECT DISTINCT props AS v FROM events))

@@ -53,6 +53,13 @@ def profile_agg_frame(df: DataFrame, approx_distinct: bool = False) -> DataFrame
                 F.min(F.length(c)).alias(f"lmin__{c}"),
                 F.max(F.length(c)).alias(f"lmax__{c}"),
                 distinct(c).alias(f"uniq__{c}"),
+                # JSON-payload detection: non-null values failing to parse
+                F.sum(
+                    (
+                        F.try_parse_json(F.col(c)).isNull()
+                        & F.col(c).isNotNull()
+                    ).cast("long")
+                ).alias(f"nonjson__{c}"),
             ]
         elif isinstance(dt, NumericType) and not isinstance(dt, BooleanType):
             aggs += [
@@ -118,6 +125,7 @@ def profile_columns(
         st: Dict[str, Any] = {"non_null": row[f"nn__{c}"]}
         if isinstance(dt, StringType):
             st["blank"] = row[f"blank__{c}"] or 0
+            st["non_json"] = row[f"nonjson__{c}"] or 0
             st["len_min"] = row[f"lmin__{c}"]
             st["len_max"] = row[f"lmax__{c}"]
             st["distinct"] = row[f"uniq__{c}"]
@@ -153,8 +161,10 @@ def suggest_rules(
     - ``required`` when completeness ≥ ``required_threshold``.
     - strings: ``non_empty`` when complete and zero blanks;
       ``max_length`` = observed max (null-safe); ``min_length`` =
-      observed min when complete and min ≥ 1; ``enum`` of the sorted
-      observed values when complete and distinct ≤ ``enum_max_uniques``.
+      observed min when complete and min ≥ 1; ``json_valid`` when
+      complete and every value parses as JSON (a payload column);
+      ``enum`` of the sorted observed values when complete and
+      distinct ≤ ``enum_max_uniques``.
     - numerics: ``number_range`` over the observed [min, max]
       (compiler passes nulls, so safe at any completeness).
     """
@@ -208,6 +218,18 @@ def suggest_rules(
                     "message": f"{c} length <= {st['len_max']}",
                 }
             )
+            if complete and st["non_json"] == 0:
+                # every value parses as JSON → a payload column; the
+                # compiled json_valid check fails nulls, so only
+                # suggested when the column is fully populated
+                rules.append(
+                    {
+                        "field": c,
+                        "check": "json_valid",
+                        "severity": "warning",
+                        "message": f"{c} must be valid JSON",
+                    }
+                )
             if complete and "enum_values" in st:
                 rules.append(
                     {

@@ -149,6 +149,20 @@ def test_suggest_cli_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
 
 
+def test_json_payload_column_suggested(spark):
+    """A fully-populated all-JSON string column gets json_valid; one
+    with a null (the compiled check fails nulls) or a non-JSON value
+    does not."""
+    df = spark.createDataFrame(
+        [('{"a": 1}', '{"b": 2}', "plain"), ('{"a": 2}', None, "text")],
+        "j string, jn string, t string",
+    )
+    by_key = _rules_by_key(suggest_rules(df))
+    assert ("j", "json_valid") in by_key
+    assert ("jn", "json_valid") not in by_key
+    assert ("t", "json_valid") not in by_key
+
+
 # hypothesis: the guarantee holds for ARBITRARY small corpora, not just
 # the fixture — strings drawn to hit blank/empty/unicode edges, numerics
 # with nulls, any null pattern. One Spark job per example.
