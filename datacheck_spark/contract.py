@@ -2201,6 +2201,14 @@ def key_skew_events(spark, sf_dir):
       FROM p WHERE total > 0 AND nn_et > 0
     UNION ALL SELECT 'event_type', 'json_valid', NULL, NULL, NULL
       FROM p WHERE total > 0 AND nn_et = total AND nj_et = 0
+    UNION ALL SELECT 'event_type', 'json_path', NULL, NULL, '$.' || key
+      FROM (SELECT unnest(json_keys(event_type)) AS key, event_type AS j
+              FROM events WHERE json_valid(event_type)) t, p
+     GROUP BY key, p.total, p.nn_et, p.nj_et
+    HAVING p.total > 0 AND p.nn_et = p.total AND p.nj_et = 0
+       AND regexp_matches(key, '^[A-Za-z0-9_]+$')
+       AND sum(CASE WHEN json_extract_string(t.j, '$.' || key)
+                    IS NOT NULL THEN 1 ELSE 0 END) = p.total
     UNION ALL SELECT 'event_type', 'enum', NULL, NULL,
            (SELECT string_agg(v, ',' ORDER BY v)
               FROM (SELECT DISTINCT event_type AS v FROM events))
@@ -2219,6 +2227,14 @@ def key_skew_events(spark, sf_dir):
       FROM p WHERE total > 0 AND nn_props > 0
     UNION ALL SELECT 'props', 'json_valid', NULL, NULL, NULL
       FROM p WHERE total > 0 AND nn_props = total AND nj_props = 0
+    UNION ALL SELECT 'props', 'json_path', NULL, NULL, '$.' || key
+      FROM (SELECT unnest(json_keys(props)) AS key, props AS j
+              FROM events WHERE json_valid(props)) t, p
+     GROUP BY key, p.total, p.nn_props, p.nj_props
+    HAVING p.total > 0 AND p.nn_props = p.total AND p.nj_props = 0
+       AND regexp_matches(key, '^[A-Za-z0-9_]+$')
+       AND sum(CASE WHEN json_extract_string(t.j, '$.' || key)
+                    IS NOT NULL THEN 1 ELSE 0 END) = p.total
     UNION ALL SELECT 'props', 'enum', NULL, NULL,
            (SELECT string_agg(v, ',' ORDER BY v)
               FROM (SELECT DISTINCT props AS v FROM events))

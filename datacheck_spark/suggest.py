@@ -139,6 +139,31 @@ def profile_columns(
     return out
 
 
+#: keys safe to embed in a '$.key' JSONPath literal
+_KEY_RE = __import__("re").compile(r"[A-Za-z0-9_]+")
+
+
+def _universal_json_keys(df: DataFrame, col: str, total: int) -> List[str]:
+    """Top-level keys carried (with a non-null value) by EVERY row of
+    an all-JSON string column — each becomes a ``json_path``
+    suggestion that provably passes (``get_json_object`` is non-null
+    exactly where the parsed map value is). One explode + map-side
+    partial groupBy per payload column, state bounded by the key
+    cardinality; keys that can't be embedded in a ``$.key`` path
+    literal are skipped."""
+    kv = df.select(
+        F.explode(
+            F.from_json(F.col(col).cast("string"), "map<string,string>")
+        ).alias("k", "v")
+    )
+    rows = kv.groupBy("k").agg(
+        F.sum(F.col("v").isNotNull().cast("long")).alias("nn")
+    ).collect()
+    return sorted(
+        r["k"] for r in rows if r["nn"] == total and _KEY_RE.fullmatch(r["k"])
+    )
+
+
 def suggest_rules(
     df: DataFrame,
     enum_max_uniques: int = 20,
@@ -230,6 +255,16 @@ def suggest_rules(
                         "message": f"{c} must be valid JSON",
                     }
                 )
+                for k in _universal_json_keys(df, c, total):
+                    rules.append(
+                        {
+                            "field": c,
+                            "check": "json_path",
+                            "path": f"$.{k}",
+                            "severity": "warning",
+                            "message": f"{c} must carry {k}",
+                        }
+                    )
             if complete and "enum_values" in st:
                 rules.append(
                     {
@@ -284,5 +319,7 @@ def suggestions_table(spark, config: Dict[str, Any]) -> DataFrame:
             p2 = float(r["max"])
         elif r["check"] == "enum":
             vals = ",".join(r["values"])
+        elif r["check"] == "json_path":
+            vals = r["path"]
         rows.append((r["field"], r["check"], p1, p2, vals))
     return spark.createDataFrame(rows, schema)

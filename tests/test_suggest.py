@@ -163,6 +163,32 @@ def test_json_payload_column_suggested(spark):
     assert ("t", "json_valid") not in by_key
 
 
+def test_json_path_suggested_for_universal_keys(spark):
+    """json_path is suggested only for keys carried with a NON-NULL
+    value by every row; JSON-null values, partially-present keys, and
+    path-unsafe key names are withheld — and the suggested rule passes
+    on the profiled data (the compiled check fails null extractions)."""
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 1, "part": 1, "nul": 1, "we ird": 1}',),
+            ('{"k": {"nested": true}, "nul": null, "we ird": 2}',),
+        ],
+        "j string",
+    )
+    cfg = suggest_rules(df)
+    paths = {
+        r["path"] for r in cfg["rules"] if r["check"] == "json_path"
+    }
+    assert paths == {"$.k"}  # part missing once; nul null once; "we ird" unsafe
+    # guarantee: the emitted rule passes on both rows
+    from datacheck_spark.rules.compiler import _config_check_column
+
+    ok = _config_check_column(df, "j", "json_path", {"path": "$.k"})
+    assert df.where(~ok).count() == 0
+
+
 # hypothesis: the guarantee holds for ARBITRARY small corpora, not just
 # the fixture — strings drawn to hit blank/empty/unicode edges, numerics
 # with nulls, any null pattern. One Spark job per example.
