@@ -103,6 +103,7 @@ SECONDARY = [
     "near_dedup_keep_best_docs",
     "key_skew_events",
     "suggest_rules_events",
+    "json_checks_events",
 ]
 
 
