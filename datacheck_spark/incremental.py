@@ -34,6 +34,15 @@ runs are beyond-reference capability. Rule semantics are unchanged —
 rules are compiled against the table schema alone, so incremental
 violation rows are bit-identical to a from-scratch run's (tested by
 set equality in ``tests/test_incremental.py``).
+
+Schema evolution: rules are compiled PER FILE GROUP against that
+group's schema. With a fixed-column rule suite (the transcript
+checker) appended columns are simply ignored — identical to a full
+run. With schema-dependent rulesets (the generic engine's all-string-
+columns rules), a column added by an append is validated from its
+first batch onward — schema-on-read per append, which is what an
+evolving Iceberg table wants (a full re-read under the merged schema
+would instead apply today's schema to yesterday's files).
 """
 
 from __future__ import annotations

@@ -215,6 +215,25 @@ def test_cli_incremental_gate(spark, tmp_path, table, capsys):
     capsys.readouterr()
 
 
+def test_schema_evolution_appended_column(spark, tmp_path, table, checker):
+    """An appended file carrying an extra column validates cleanly:
+    the transcript suite's rules are pinned to transcript columns, so
+    the live view still equals a from-scratch run over the mixed-schema
+    directory (rules compile per file group — see module docstring)."""
+    iv = IncrementalValidator(str(tmp_path / "ckpt"), checker=checker)
+    iv.run(spark, str(table))
+    extra = (
+        generate_transcripts(spark, n_convs=10, turns_per_conv=4, seed=21)
+        .withColumn("conv_id", F.concat(F.lit("evo_"), F.col("conv_id")))
+        .withColumn("extra_note", F.lit("  "))
+    )
+    _write(extra, table, n_files=1)
+    out = iv.run(spark, str(table))
+    assert out["new_files"] == 1
+    full = checker.violations(spark.read.parquet(str(table)))
+    assert _vset(iv.live_violations(spark)) == _vset(full)
+
+
 def test_random_histories_preserve_identity(spark, tmp_path, checker):
     """State-machine check: under a random add/remove/compact history
     the live view equals a from-scratch run after EVERY step."""
