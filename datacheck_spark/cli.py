@@ -56,6 +56,9 @@ def cmd_check(args) -> int:
     elif args.ruleset == "annotation":
         ruleset = get_annotation_ruleset()
     else:
+        # "llm" = builtin rules + the llm_quality judge rule merged in
+        # after the fused pass (reference rules.py:478-498); "default"
+        # = builtins only
         ruleset = RuleSet()
 
     schema = ValidationSchema()
@@ -68,7 +71,14 @@ def cmd_check(args) -> int:
     engine = ValidationEngine(ruleset=ruleset, schema=schema)
     p = Path(args.data)
     if p.is_dir():
-        out = SRC.check_directory(spark, args.data, engine=engine)
+        patterns = (
+            [s.strip() for s in args.pattern.split(",") if s.strip()]
+            if args.pattern
+            else None
+        )
+        out = SRC.check_directory(
+            spark, args.data, engine=engine, patterns=patterns
+        )
         print(json.dumps(out, indent=2, ensure_ascii=False))
         return 0 if out.get("overall_pass_rate", 0) >= args.threshold else 1
 
@@ -84,6 +94,49 @@ def cmd_check(args) -> int:
     df, sampled = SRC.sample_df(df, args.sample, args.sample_rate)
     result = engine.check(df)
     result.sampled = sampled
+    if args.ruleset == "llm" and not args.rules_file:
+        # reference get_llm_ruleset: builtin rules + an INFO-severity
+        # LLM judge scoring instruction/response (min overall 3).
+        # Provider defaults to the deterministic offline mock; set
+        # DATACHECK_LLM_PROVIDER=anthropic|openai for real judging.
+        from pyspark.sql import functions as F
+
+        from datacheck_spark.llm_rules import with_llm_quality
+
+        idc = "id" if "id" in df.columns else "__llm_id"
+        d2 = df
+        if idc not in d2.columns:
+            d2 = d2.withColumn(
+                idc, F.monotonically_increasing_id().cast("string")
+            )
+        for c in ("instruction", "response"):
+            if c not in d2.columns:
+                d2 = d2.withColumn(c, F.lit(""))
+        judged = with_llm_quality(
+            d2,
+            idc,
+            provider=os.environ.get("DATACHECK_LLM_PROVIDER", "mock"),
+            model=os.environ.get("DATACHECK_LLM_MODEL"),
+        )
+        agg = judged.agg(
+            F.count("*").alias("n"),
+            F.sum((~F.col("llm_quality_passed")).cast("long")).alias("f"),
+        ).collect()[0]
+        failed = int(agg["f"] or 0)
+        result.rule_results["llm_quality"] = {
+            "name": "LLM quality judge",
+            "passed": int(agg["n"]) - failed,
+            "failed": failed,
+            "severity": "info",
+            "failed_samples": [
+                str(r[idc])
+                for r in judged.where(~F.col("llm_quality_passed"))
+                .select(idc)
+                .limit(10)
+                .collect()
+            ],
+        }
+        result.info_count += failed
     if args.output:
         save_report(result, args.output)
     print(to_markdown(result))
@@ -524,6 +577,7 @@ def main(argv=None) -> int:
     c.add_argument("--strict", action="store_true")
     c.add_argument("--sample", type=int, default=None)
     c.add_argument("--sample-rate", type=float, default=None)
+    c.add_argument("--pattern", default=None)
     c.add_argument("-o", "--output")
     c.set_defaults(fn=cmd_check)
 

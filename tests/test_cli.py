@@ -79,9 +79,20 @@ def test_watch_cli_rechecks_on_change(spark, tmp_path, capsys):
 
     t = threading.Thread(target=run)
     t.start()
-    time.sleep(2)  # initial check done; watcher polling
-    f1.write_text('{"id": "1", "text": "hello world"}\n{"id": "2", "text": "more"}\n')
-    t.join(timeout=30)
+    # keep modifying until the watcher exits: a single timed write can
+    # land BEFORE the cold initial check finishes (and then be folded
+    # into the baseline snapshot, triggering nothing); repeated writes
+    # guarantee one lands after the baseline, --max-checks 1 then exits
+    deadline = time.time() + 120
+    i = 0
+    while t.is_alive() and time.time() < deadline:
+        f1.write_text(
+            '{"id": "1", "text": "hello world"}\n'
+            f'{{"id": "m{i}", "text": "more"}}\n'
+        )
+        i += 1
+        time.sleep(1.0)
+    t.join(timeout=5)
     assert not t.is_alive()
     assert rcs == [0]
     out = capsys.readouterr().out
@@ -120,6 +131,41 @@ def _make_analysis_dir(tmp_path, with_schema=True, with_synthetic=True,
         ]}), encoding="utf-8")
     base.mkdir(exist_ok=True)
     return base
+
+
+def test_check_llm_ruleset_cli(spark, tmp_path, capsys):
+    """`check --ruleset llm` = builtin rules + the llm_quality INFO
+    judge (reference rules.py:478-498), offline mock provider."""
+    data = tmp_path / "pairs.jsonl"
+    good_inst = "please summarise the quarterly report in plain words"
+    good_resp = "the quarterly report shows plain steady growth in words"
+    with open(data, "w", encoding="utf-8") as f:
+        f.write(json.dumps({"id": "good", "instruction": good_inst,
+                            "response": good_resp}) + "\n")
+        f.write(json.dumps({"id": "bad", "instruction": "hi",
+                            "response": "x"}) + "\n")
+    out_path = tmp_path / "report.json"
+    rc = main(["check", str(data), "--ruleset", "llm",
+               "-o", str(out_path), "--threshold", "0.0"])
+    capsys.readouterr()
+    assert rc == 0
+    report = json.loads(out_path.read_text())
+    rr = report["rule_results"]["llm_quality"]
+    assert rr["severity"] == "info"
+    assert rr["passed"] == 1 and rr["failed"] == 1
+    assert rr["failed_samples"] == ["bad"]
+
+
+def test_check_directory_pattern_cli(spark, tmp_path, capsys):
+    """`check <dir> --pattern` restricts the directory scan."""
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.jsonl").write_text(json.dumps({"id": "1", "text": "ok row"}))
+    (d / "b.csv").write_text("id,text\n2,also ok\n")
+    rc = main(["check", str(d), "--pattern", "*.jsonl"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["total_files"] == 1 and "a.jsonl" in out["file_results"]
 
 
 def test_validate_cli_datarecipe(spark, tmp_path, capsys):
