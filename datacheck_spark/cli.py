@@ -500,13 +500,23 @@ def cmd_watch(args) -> int:
         get_sft_ruleset,
     )
 
+    from datacheck_spark.schema import ValidationSchema
+
     spark = _spark("datacheck-watch", args.master)
     ruleset = {
         "sft": get_sft_ruleset,
         "preference": get_preference_ruleset,
         "annotation": get_annotation_ruleset,
     }.get(args.ruleset, RuleSet)()
-    engine = ValidationEngine(ruleset=ruleset)
+    if args.ruleset == "llm":
+        # the dev loop re-checks on every save; run the builtin rules
+        # here and point at `check --ruleset llm` for judged runs
+        print("watch: using builtin rules; run `check --ruleset llm` for LLM judging")
+    schema = ValidationSchema()
+    if getattr(args, "schema", None):
+        with open(args.schema, "r", encoding="utf-8") as f:
+            schema = ValidationSchema.from_dict(json.load(f))
+    engine = ValidationEngine(ruleset=ruleset, schema=schema)
     path = Path(args.data)
 
     def snapshot():
@@ -659,6 +669,7 @@ def main(argv=None) -> int:
 
     w = sub.add_parser("watch")
     w.add_argument("data")
+    w.add_argument("-s", "--schema")
     w.add_argument("--ruleset", default="default")
     w.add_argument("--debounce", type=float, default=1.0)
     w.add_argument("--timeout", type=float, default=0)
