@@ -373,19 +373,78 @@ def cmd_diff(args) -> int:
 
 
 def cmd_compare(args) -> int:
-    """Check a file against a reference file's distribution
-    (reference ``cli.py`` compare cmd → op 28)."""
+    """Distribution comparison across N data files (reference
+    ``cli.py:236-313``): per-file sample counts + per-field
+    length/value stats in a markdown report; with exactly two files
+    the field-delta comparison (op 28) is appended as JSON."""
+    from pathlib import Path
+
     from datacheck_spark import sources as SRC
     from datacheck_spark.engine import ValidationEngine
+    from datacheck_spark.stats import compare_distributions
 
+    if len(args.files) < 2:
+        print("error: need at least 2 files")
+        return 1
     spark = _spark("datacheck-compare", args.master)
-    df, _ = SRC.load_data(spark, args.data)
-    ref, _ = SRC.load_data(spark, args.reference)
     engine = ValidationEngine()
-    result = engine.check(df, reference_df=ref)
-    print(json.dumps(result.to_dict(), ensure_ascii=False, indent=2))
-    comparison = result.distribution.get("reference_comparison", {})
-    print(json.dumps(comparison, ensure_ascii=False, indent=2, default=str))
+    dists = []
+    frames = []
+    for f in args.files:
+        df, _ = SRC.load_data(spark, f)
+        frames.append(df)
+        res = engine.check(
+            df, find_duplicates=False, find_near_duplicates=False,
+            detect_anomalies=False,
+        )
+        dists.append(
+            {
+                "file": f,
+                "sample_count": res.total_samples,
+                "distribution": res.distribution,
+            }
+        )
+
+    lines = ["# Distribution comparison", "", "## Files", "",
+             "| file | samples |", "|------|---------|"]
+    for d in dists:
+        lines.append(f"| {Path(d['file']).name} | {d['sample_count']} |")
+    lines += ["", "## Fields", ""]
+    fields = sorted(
+        {
+            k
+            for d in dists
+            for k in d["distribution"].get("fields", {}).keys()
+        }
+    )
+    for field in fields:
+        lines.append(f"### {field}")
+        lines.append("")
+        for d in dists:
+            fd = d["distribution"].get("fields", {}).get(field, {})
+            name = Path(d["file"]).name
+            if "length_stats" in fd:
+                st = fd["length_stats"]
+                lines.append(
+                    f"- **{name}**: length {st['min']}-{st['max']}"
+                    f" (avg {st['avg']:.0f})"
+                )
+            elif "value_stats" in fd:
+                st = fd["value_stats"]
+                lines.append(
+                    f"- **{name}**: value {st['min']}-{st['max']}"
+                    f" (avg {st['avg']:.1f})"
+                )
+        lines.append("")
+    report = "\n".join(lines)
+    if args.output:
+        Path(args.output).write_text(report, encoding="utf-8")
+        print(f"saved: {args.output}")
+    else:
+        print(report)
+    if len(frames) == 2:
+        comparison = compare_distributions(frames[0], frames[1])
+        print(json.dumps(comparison, ensure_ascii=False, indent=2, default=str))
     return 0
 
 
@@ -645,8 +704,8 @@ def main(argv=None) -> int:
     dd.set_defaults(fn=cmd_diff)
 
     cp = sub.add_parser("compare")
-    cp.add_argument("data")
-    cp.add_argument("reference")
+    cp.add_argument("files", nargs="+")
+    cp.add_argument("-o", "--output")
     cp.set_defaults(fn=cmd_compare)
 
     t = sub.add_parser("transcripts")

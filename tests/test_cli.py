@@ -168,6 +168,32 @@ def test_check_directory_pattern_cli(spark, tmp_path, capsys):
     assert out["total_files"] == 1 and "a.jsonl" in out["file_results"]
 
 
+def test_compare_multi_file_cli(spark, tmp_path, capsys):
+    """`compare` over N files: per-field distribution markdown report
+    (reference cli.py:236-313); <2 files is a usage error."""
+    files = []
+    for name, scale in (("a", 1), ("b", 3), ("c", 5)):
+        p = tmp_path / f"{name}.jsonl"
+        with open(p, "w", encoding="utf-8") as f:
+            for i in range(20):
+                f.write(
+                    json.dumps(
+                        {"id": f"{name}{i}", "text": "word " * (i % 5 + scale),
+                         "score": float(i * scale)}
+                    ) + "\n"
+                )
+        files.append(str(p))
+    out_md = tmp_path / "cmp.md"
+    rc = main(["compare", *files, "-o", str(out_md)])
+    capsys.readouterr()
+    assert rc == 0
+    report = out_md.read_text()
+    assert report.count("jsonl |") == 3  # one summary row per file
+    assert "### text" in report and "### score" in report
+    assert main(["compare", files[0]]) == 1
+    capsys.readouterr()
+
+
 def test_validate_cli_datarecipe(spark, tmp_path, capsys):
     """validate reads the DataRecipe schema, picks synthetic data, and
     writes the report into 12_质检报告 (reference cli.py:178-236)."""
