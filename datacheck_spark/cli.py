@@ -82,7 +82,7 @@ def cmd_check(args) -> int:
         print(json.dumps(out, indent=2, ensure_ascii=False))
         return 0 if out.get("overall_pass_rate", 0) >= args.threshold else 1
 
-    if p.suffix.lower() == ".parquet" or args.format == "parquet":
+    if p.suffix.lower() == ".parquet" or args.input_format == "parquet":
         df = spark.read.parquet(args.data)
         embedded = {}
     else:
@@ -138,8 +138,19 @@ def cmd_check(args) -> int:
         }
         result.info_count += failed
     if args.output:
-        save_report(result, args.output)
-    print(to_markdown(result))
+        # explicit -f wins over the output extension (reference
+        # QualityReport.save(output, format))
+        save_report(result, args.output, fmt=args.format)
+    if args.format == "json":
+        from datacheck_spark.report import to_json_report
+
+        print(json.dumps(to_json_report(result), indent=2, ensure_ascii=False))
+    elif args.format == "html":
+        from datacheck_spark.report import to_html
+
+        print(to_html(result))
+    else:
+        print(to_markdown(result))
     return gate(result, threshold=args.threshold, strict=args.strict)
 
 
@@ -641,7 +652,11 @@ def main(argv=None) -> int:
     c.add_argument("--ruleset", default="default")
     c.add_argument("--rules-file")
     c.add_argument("-s", "--schema")
-    c.add_argument("--format", default=None)
+    c.add_argument(
+        "-f", "--format",
+        choices=("markdown", "json", "html"), default="markdown",
+    )
+    c.add_argument("--input-format", default=None)
     c.add_argument("--threshold", type=float, default=0.5)
     c.add_argument("--strict", action="store_true")
     c.add_argument("--sample", type=int, default=None)

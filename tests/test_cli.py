@@ -145,7 +145,7 @@ def test_check_llm_ruleset_cli(spark, tmp_path, capsys):
         f.write(json.dumps({"id": "bad", "instruction": "hi",
                             "response": "x"}) + "\n")
     out_path = tmp_path / "report.json"
-    rc = main(["check", str(data), "--ruleset", "llm",
+    rc = main(["check", str(data), "--ruleset", "llm", "-f", "json",
                "-o", str(out_path), "--threshold", "0.0"])
     capsys.readouterr()
     assert rc == 0
