@@ -79,8 +79,33 @@ def cmd_check(args) -> int:
         out = SRC.check_directory(
             spark, args.data, engine=engine, patterns=patterns
         )
-        print(json.dumps(out, indent=2, ensure_ascii=False))
-        return 0 if out.get("overall_pass_rate", 0) >= args.threshold else 1
+        from datacheck_spark.report import (
+            batch_to_html,
+            batch_to_markdown,
+            save_batch_report,
+        )
+
+        if args.output:
+            save_batch_report(out, args.output, fmt=args.format)
+        if args.format == "json":
+            print(json.dumps(out, indent=2, ensure_ascii=False))
+        elif args.format == "html":
+            print(batch_to_html(out))
+        else:
+            print(batch_to_markdown(out))
+        # reference exit semantics (cli.py:109-116): strict fails on any
+        # error/warning; otherwise EVERY file must clear the threshold
+        if args.strict and (
+            out.get("total_error_count", 0) > 0
+            or out.get("total_warning_count", 0) > 0
+        ):
+            return 1
+        if any(
+            fr["pass_rate"] < args.threshold
+            for fr in out.get("file_results", {}).values()
+        ):
+            return 1
+        return 0
 
     if p.suffix.lower() == ".parquet" or args.input_format == "parquet":
         df = spark.read.parquet(args.data)

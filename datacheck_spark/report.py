@@ -171,6 +171,94 @@ def save_report(
         )
 
 
+def batch_to_markdown(
+    batch: Dict[str, Any], title: str = "Batch Data Quality Report"
+) -> str:
+    """Markdown for a directory-scan result (reference
+    ``report.py:648-708`` BatchQualityReport.to_markdown): summary
+    table, per-file detail with error/warning counts and a pass/fail
+    status, skipped files."""
+    rate = batch.get("overall_pass_rate", 0.0)
+    lines = [
+        f"# {title}",
+        "",
+        f"Directory: `{batch.get('directory', '')}`",
+        "",
+        "## Summary",
+        "",
+        "| metric | value |",
+        "|--------|-------|",
+        f"| files checked | {batch.get('total_files', 0)} |",
+        f"| total samples | {batch.get('total_samples', 0)} |",
+        f"| passed samples | {batch.get('total_passed_samples', 0)} |",
+        f"| failed samples | {batch.get('total_failed_samples', 0)} |",
+        f"| **overall pass rate** | **{rate:.1%}** |",
+        "",
+        f"### Grade: {quality_grade(rate)}",
+        "",
+    ]
+    files = batch.get("file_results", {})
+    if files:
+        lines += [
+            "## Files",
+            "",
+            "| file | samples | pass rate | errors | warnings | status |",
+            "|------|---------|-----------|--------|----------|--------|",
+        ]
+        for path, fr in files.items():
+            status = "PASS" if fr.get("error_count", 0) == 0 else "FAIL"
+            lines.append(
+                f"| {path} | {fr['total_samples']} | {fr['pass_rate']:.1%} "
+                f"| {fr.get('error_count', 0)} | {fr.get('warning_count', 0)} "
+                f"| {status} |"
+            )
+        lines.append("")
+    if batch.get("skipped_files"):
+        lines += ["## Skipped", ""]
+        lines += [f"- {s}" for s in batch["skipped_files"]]
+        lines.append("")
+    return "\n".join(lines)
+
+
+def batch_to_html(
+    batch: Dict[str, Any], title: str = "Batch Data Quality Report"
+) -> str:
+    """Self-contained HTML for a directory-scan result (reference
+    ``report.py:708-780``) — the markdown body in a minimal page, same
+    approach as :func:`to_html`."""
+    import html as _html
+
+    body = _html.escape(batch_to_markdown(batch, title=title))
+    color = grade_color(batch.get("overall_pass_rate", 0.0))
+    return (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        f"<title>{_html.escape(title)}</title>"
+        "<style>body{font-family:sans-serif;max-width:60em;margin:2em auto}"
+        f"pre{{white-space:pre-wrap}} h1{{color:{color}}}</style></head>"
+        f"<body><pre>{body}</pre></body></html>"
+    )
+
+
+def save_batch_report(
+    batch: Dict[str, Any], output_path: str, fmt: Optional[str] = None
+) -> None:
+    """Save a directory-scan report as MD/JSON/HTML (reference
+    ``report.py:816-829``); explicit ``fmt`` wins over the extension."""
+    from pathlib import Path
+
+    p = Path(output_path)
+    fmt = fmt or p.suffix.lstrip(".").lower() or "json"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    if fmt in ("md", "markdown"):
+        p.write_text(batch_to_markdown(batch), encoding="utf-8")
+    elif fmt in ("html", "htm"):
+        p.write_text(batch_to_html(batch), encoding="utf-8")
+    else:
+        p.write_text(
+            json.dumps(batch, indent=2, ensure_ascii=False), encoding="utf-8"
+        )
+
+
 def _arrow(a: float, b: float) -> str:
     """Diff arrows (``report.py:560-570``): ↑ improved, ↓ worse, = same."""
     if b > a:

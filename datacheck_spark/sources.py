@@ -188,19 +188,33 @@ def check_directory(
         skipped = [f"{name}: {n} corrupt records" for name, n in sorted(corrupt_per_file.items())]
         df = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
 
-    annotated = engine.annotate(df)
+    from datacheck_spark.rules.compiler import Severity
+    from datacheck_spark.engine import RULE_PREFIX
+
+    rules = engine.compile(df)
+    annotated = engine.annotate(df, rules=rules)
+
+    def _fail_count(severity) -> F.Column:
+        fails = [
+            (~F.col(RULE_PREFIX + r.rule_id)).cast("int")
+            for r in rules
+            if r.severity == severity
+        ]
+        return sum(fails[1:], fails[0]) if fails else F.lit(0)
 
     per_file = (
         annotated.groupBy("source_file")
         .agg(
             F.count(F.lit(1)).alias("total"),
             F.sum((~F.col(HAS_ERROR)).cast("long")).alias("passed"),
+            F.sum(_fail_count(Severity.ERROR)).alias("errors"),
+            F.sum(_fail_count(Severity.WARNING)).alias("warnings"),
         )
         .orderBy("source_file")
         .collect()
     )
     file_results = {}
-    total = passed = 0
+    total = passed = errors = warnings = 0
     for r in per_file:
         name = _rel(r["source_file"])
         file_results[name] = {
@@ -208,9 +222,13 @@ def check_directory(
             "passed_samples": r["passed"],
             "failed_samples": r["total"] - r["passed"],
             "pass_rate": round(r["passed"] / r["total"], 4) if r["total"] else 1.0,
+            "error_count": int(r["errors"] or 0),
+            "warning_count": int(r["warnings"] or 0),
         }
         total += r["total"]
         passed += r["passed"]
+        errors += int(r["errors"] or 0)
+        warnings += int(r["warnings"] or 0)
     return {
         "success": True,
         "directory": str(root),
@@ -220,6 +238,8 @@ def check_directory(
         "total_passed_samples": passed,
         "total_failed_samples": total - passed,
         "overall_pass_rate": round(passed / total, 4) if total else 1.0,
+        "total_error_count": errors,
+        "total_warning_count": warnings,
         "passed_files": sum(
             1 for fr in file_results.values() if fr["failed_samples"] == 0
         ),

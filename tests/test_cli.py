@@ -162,10 +162,21 @@ def test_check_directory_pattern_cli(spark, tmp_path, capsys):
     d.mkdir()
     (d / "a.jsonl").write_text(json.dumps({"id": "1", "text": "ok row"}))
     (d / "b.csv").write_text("id,text\n2,also ok\n")
-    rc = main(["check", str(d), "--pattern", "*.jsonl"])
+    rc = main(["check", str(d), "--pattern", "*.jsonl", "-f", "json"])
     out = json.loads(capsys.readouterr().out)
     assert rc == 0
     assert out["total_files"] == 1 and "a.jsonl" in out["file_results"]
+    # default format renders the batch markdown report
+    rc = main(["check", str(d)])
+    md = capsys.readouterr().out
+    assert rc == 0
+    assert "# Batch Data Quality Report" in md and "a.jsonl" in md
+    assert "b.csv" in md  # no pattern: both files checked
+    # per-file threshold gating: any file below the bar fails the run
+    (d / "c.jsonl").write_text(json.dumps({"id": "3", "text": "   "}))
+    rc = main(["check", str(d), "--threshold", "0.9"])
+    capsys.readouterr()
+    assert rc == 1
 
 
 def test_compare_multi_file_cli(spark, tmp_path, capsys):
