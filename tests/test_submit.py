@@ -84,8 +84,10 @@ def test_submit_check_clean_parquet(deploy_dir):
         [
             "check",
             "/root/testdata/sf0.001/documents.parquet",
-            "--format",
+            "--input-format",
             "parquet",
+            "-f",
+            "json",
             "-o",
             str(report),
         ],
