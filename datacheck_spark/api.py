@@ -7,11 +7,15 @@ surface is a transport-agnostic function — the MCP SDK / FastAPI are
 thin wrappers a deployment can add (neither ships in this sandbox);
 ``server.py`` provides a stdlib HTTP wrapper.
 
-Tools (reference README.md:372-384): check_data_quality, infer_schema,
-fix_data, compare_datasets, check_drift, check_leakage, check_bias,
-check_coverage, calculate_contribution, generate_report, diff_reports;
-beyond-reference: diagnose_skew (``skew.py``), suggest_rules
-(``suggest.py``).
+Tools: the reference's REGISTERED set (``mcp_server.py:30-277``) —
+check_data_quality, validate_from_datarecipe, compare_distributions,
+list_quality_rules, infer_schema, fix_data, batch_check_directory,
+check_drift, check_leakage, check_bias, check_coverage — plus the set
+its README additionally describes (README.md:372-384):
+compare_datasets, calculate_contribution, generate_report,
+diff_reports; beyond-reference: diagnose_skew (``skew.py``),
+suggest_rules (``suggest.py``). Path arguments (``data_path`` etc.)
+follow the reference; inline ``samples`` stay supported everywhere.
 """
 
 from __future__ import annotations
@@ -25,6 +29,22 @@ def _df_from_samples(spark: SparkSession, samples: List[Dict[str, Any]]) -> Data
     if not samples:
         return spark.createDataFrame([], "id string")
     return spark.createDataFrame(samples)
+
+
+def _df_for(
+    spark: SparkSession,
+    args: Dict[str, Any],
+    samples_key: str = "samples",
+    path_key: str = "data_path",
+):
+    """Resolve a tool input to (df, embedded_schema): the reference's
+    MCP tools are PATH-based (``mcp_server.py:30-277``); inline
+    ``samples`` remain supported for transport-light callers."""
+    if args.get(path_key):
+        from datacheck_spark import sources as SRC
+
+        return SRC.load_data(spark, args[path_key])
+    return _df_from_samples(spark, args.get(samples_key, [])), {}
 
 
 def call_tool(
@@ -55,20 +75,41 @@ def call_tool(
         )
 
     if name == "check_data_quality":
-        df = _df_from_samples(spark, args.get("samples", []))
-        engine = engine_for(args.get("ruleset"), args.get("schema"))
+        df, embedded = _df_for(spark, args)
+        schema_dict = args.get("schema") or embedded
+        if args.get("schema_path"):
+            import json as _json
+
+            with open(args["schema_path"], "r", encoding="utf-8") as f:
+                schema_dict = _json.load(f)
+        if args.get("sample_count") or args.get("sample_rate"):
+            from datacheck_spark import sources as SRC
+
+            df, _ = SRC.sample_df(
+                df, args.get("sample_count"), args.get("sample_rate")
+            )
+        engine = engine_for(args.get("ruleset"), schema_dict)
         return engine.check(df).to_dict()
 
     if name == "infer_schema":
         from datacheck_spark.stats import infer_schema
 
-        df = _df_from_samples(spark, args.get("samples", []))
-        return infer_schema(df)
+        df, _ = _df_for(spark, args)
+        out = infer_schema(df)
+        if args.get("output_path"):
+            import json as _json
+            from pathlib import Path
+
+            Path(args["output_path"]).write_text(
+                _json.dumps(out, indent=2, ensure_ascii=False, default=str),
+                encoding="utf-8",
+            )
+        return out
 
     if name == "fix_data":
         from datacheck_spark.fixer import DataFixer
 
-        df = _df_from_samples(spark, args.get("samples", []))
+        df, _ = _df_for(spark, args)
         fixed, res = DataFixer().fix(
             df,
             dedup=args.get("dedup", True),
@@ -78,6 +119,13 @@ def call_tool(
             near_dedup=args.get("near_dedup", False),
             near_threshold=args.get("near_threshold", 0.8),
         )
+        if args.get("output_path"):
+            # path mode (reference fix_data): write JSONL, return the
+            # fix summary only — no row echo over the wire
+            from datacheck_spark import sources as SRC
+
+            SRC.write_jsonl(fixed, args["output_path"])
+            return {"result": res.__dict__, "output_path": args["output_path"]}
         # bounded response: API inputs are request-sized, but cap the
         # echo anyway so a large fix job can't blow up the driver /
         # HTTP payload (VERDICT r1 issue 5); truncation is flagged.
@@ -100,15 +148,15 @@ def call_tool(
     if name == "check_drift":
         from datacheck_spark.drift import drift_report
 
-        a = _df_from_samples(spark, args.get("baseline", []))
-        b = _df_from_samples(spark, args.get("current", []))
-        return drift_report(a, b)
+        a, _ = _df_for(spark, args, samples_key="baseline", path_key="data_path_a")
+        b, _ = _df_for(spark, args, samples_key="current", path_key="data_path_b")
+        return drift_report(a, b, numeric_cols=args.get("fields"))
 
     if name == "check_leakage":
         from datacheck_spark.leakage import check_leakage
 
-        train = _df_from_samples(spark, args.get("train", []))
-        test = _df_from_samples(spark, args.get("test", []))
+        train, _ = _df_for(spark, args, samples_key="train", path_key="train_path")
+        test, _ = _df_for(spark, args, samples_key="test", path_key="test_path")
         return check_leakage(
             train,
             test,
@@ -122,7 +170,7 @@ def call_tool(
     if name == "check_bias":
         from datacheck_spark.bias import check_bias
 
-        df = _df_from_samples(spark, args.get("samples", []))
+        df, _ = _df_for(spark, args)
         return check_bias(
             df,
             label_col=args.get("label_field"),
@@ -132,7 +180,11 @@ def call_tool(
     if name == "check_coverage":
         from datacheck_spark.stats import check_coverage
 
-        df = _df_from_samples(spark, args.get("samples", []))
+        df, _ = _df_for(spark, args)
+        if args.get("sample_count"):
+            from datacheck_spark import sources as SRC
+
+            df, _ = SRC.sample_df(df, args["sample_count"], None)
         return check_coverage(df)
 
     if name == "calculate_contribution":
@@ -197,6 +249,82 @@ def call_tool(
             "partition_profile": partition_profile(df),
         }
 
+    if name == "validate_from_datarecipe":
+        from datacheck_spark.datarecipe import check_from_datarecipe
+
+        res = check_from_datarecipe(
+            spark, args["analysis_dir"], data_path=args.get("data_path")
+        )
+        return res.to_dict()
+
+    if name == "list_quality_rules":
+        from datacheck_spark.rules.compiler import RuleSet
+
+        return {
+            "rules": [
+                {
+                    "id": rd.rule_id,
+                    "name": rd.name,
+                    "severity": rd.severity.value,
+                    "enabled": rd.enabled,
+                }
+                for rd in RuleSet().rules.values()
+            ]
+        }
+
+    if name == "batch_check_directory":
+        from datacheck_spark import sources as SRC
+
+        engine = engine_for(args.get("ruleset"), None)
+        if args.get("schema_path"):
+            import json as _json
+
+            with open(args["schema_path"], "r", encoding="utf-8") as f:
+                engine = ValidationEngine(
+                    ruleset=engine.ruleset,
+                    schema=ValidationSchema.from_dict(_json.load(f)),
+                )
+        patterns = (
+            [s.strip() for s in args["pattern"].split(",") if s.strip()]
+            if args.get("pattern")
+            else None
+        )
+        return SRC.check_directory(
+            spark, args["directory"], engine=engine, patterns=patterns
+        )
+
+    if name == "compare_distributions":
+        # reference signature: N file paths → per-file distributions;
+        # a 2-file call also returns the field-delta comparison
+        from datacheck_spark import sources as SRC
+        from datacheck_spark.engine import ValidationEngine as _VE
+        from datacheck_spark.stats import compare_distributions
+
+        paths = args.get("file_paths") or []
+        if len(paths) < 2:
+            raise ValueError("compare_distributions requires >= 2 file_paths")
+        engine = _VE()
+        frames = []
+        dists = []
+        for p in paths:
+            df, _ = SRC.load_data(spark, p)
+            frames.append(df)
+            res = engine.check(
+                df, find_duplicates=False, find_near_duplicates=False,
+                detect_anomalies=False,
+            )
+            dists.append(
+                {
+                    "file": p,
+                    "sample_count": res.total_samples,
+                    "distribution": res.distribution,
+                }
+            )
+        out: Dict[str, Any] = {"files": dists}
+        if len(frames) == 2:
+            out["comparison"] = compare_distributions(frames[0], frames[1])
+        return out
+
     if name == "suggest_rules":
         # beyond-reference 13th tool: profile → suggested validation
         # config (suggest.py) over request samples or a table path;
@@ -217,8 +345,14 @@ def call_tool(
 
 
 TOOLS = [
-    "check_data_quality", "infer_schema", "fix_data", "compare_datasets",
-    "check_drift", "check_leakage", "check_bias", "check_coverage",
-    "calculate_contribution", "generate_report", "diff_reports",
+    # the reference's registered MCP tools (mcp_server.py:30-277)
+    "check_data_quality", "validate_from_datarecipe",
+    "compare_distributions", "list_quality_rules", "infer_schema",
+    "fix_data", "batch_check_directory", "check_drift", "check_leakage",
+    "check_bias", "check_coverage",
+    # tools its README additionally describes (README.md:372-384)
+    "compare_datasets", "calculate_contribution", "generate_report",
+    "diff_reports",
+    # beyond-reference
     "diagnose_skew", "suggest_rules",
 ]

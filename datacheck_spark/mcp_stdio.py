@@ -8,7 +8,7 @@ protocol surface needed for a tools server is small:
 - ``initialize``                → capabilities + serverInfo
 - ``notifications/initialized`` → (notification, no response)
 - ``ping``                      → {}
-- ``tools/list``                → the 13 tool descriptors
+- ``tools/list``                → the 17 tool descriptors
 - ``tools/call``                → dispatch to ``api.call_tool``
 
 Reference parity: ``mcp_server.py:837-844`` serves the first 11 tools
@@ -51,6 +51,10 @@ _TOOL_DESCRIPTIONS = {
     "diff_reports": "Diff two quality reports (arrows per metric)",
     "diagnose_skew": "Pre-shuffle skew report: hot keys, salt fan-outs, partition balance",
     "suggest_rules": "Profile samples and suggest a validation rules config (round-trips into check_data_quality)",
+    "validate_from_datarecipe": "Validate data against a DataRecipe analysis directory",
+    "list_quality_rules": "List the builtin quality rules with severity and enabled state",
+    "batch_check_directory": "Batch-check every data file under a directory (one fused pass)",
+    "compare_distributions": "Per-file distribution summaries for N data files (+ field deltas for 2)",
 }
 
 

@@ -83,10 +83,31 @@ def test_parse_error_keeps_serving(spark):
     assert replies[1]["id"] == 9
 
 
-def test_every_tool_dispatches(spark):
+def test_every_tool_dispatches(spark, tmp_path):
     """Every advertised tool must execute through tools/call with
     minimal arguments and return a non-error result."""
     samples = [{"id": "1", "text": "hello world", "score": 3}]
+    # path-based fixtures for the reference's registered tool shapes
+    data_a = tmp_path / "a.jsonl"
+    data_a.write_text(
+        "".join(json.dumps(s) + "\n" for s in samples * 3), encoding="utf-8"
+    )
+    data_b = tmp_path / "b.jsonl"
+    data_b.write_text(
+        json.dumps({"id": "9", "text": "other words", "score": 5}) + "\n",
+        encoding="utf-8",
+    )
+    analysis = tmp_path / "analysis" / "04_复刻指南"
+    analysis.mkdir(parents=True)
+    (analysis / "DATA_SCHEMA.json").write_text(
+        json.dumps({"fields": [{"name": "text", "type": "text"}]}),
+        encoding="utf-8",
+    )
+    synth = tmp_path / "analysis" / "11_合成数据"
+    synth.mkdir()
+    (synth / "synthetic.json").write_text(
+        json.dumps({"samples": samples}), encoding="utf-8"
+    )
     args_by_tool = {
         "check_data_quality": {"samples": samples},
         "infer_schema": {"samples": samples},
@@ -110,6 +131,16 @@ def test_every_tool_dispatches(spark):
         },
         "diagnose_skew": {"samples": samples * 4, "key_fields": ["id"]},
         "suggest_rules": {"samples": samples * 4},
+        "validate_from_datarecipe": {
+            "analysis_dir": str(tmp_path / "analysis")
+        },
+        "list_quality_rules": {},
+        "batch_check_directory": {
+            "directory": str(tmp_path), "pattern": "*.jsonl",
+        },
+        "compare_distributions": {
+            "file_paths": [str(data_a), str(data_b)]
+        },
     }
     assert set(args_by_tool) == set(TOOLS)
     msgs = [
