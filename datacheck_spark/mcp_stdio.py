@@ -58,11 +58,94 @@ _TOOL_DESCRIPTIONS = {
 }
 
 
+def _props(**props: Any) -> Dict[str, Any]:
+    return {k: {"type": v} if isinstance(v, str) else v for k, v in props.items()}
+
+
+#: typed input schemas mirroring the reference's registered tools
+#: (``mcp_server.py:30-277``). additionalProperties stays True: every
+#: tool also accepts inline ``samples`` (and tool-specific extras).
+_TOOL_SCHEMAS: Dict[str, Dict[str, Any]] = {
+    "check_data_quality": {
+        "properties": _props(
+            data_path="string", schema_path="string", ruleset="string",
+            sample_count="integer", sample_rate="number",
+        ),
+    },
+    "validate_from_datarecipe": {
+        "properties": _props(analysis_dir="string", data_path="string"),
+        "required": ["analysis_dir"],
+    },
+    "compare_distributions": {
+        "properties": {
+            "file_paths": {"type": "array", "items": {"type": "string"}},
+        },
+        "required": ["file_paths"],
+    },
+    "list_quality_rules": {"properties": {}},
+    "infer_schema": {
+        "properties": _props(data_path="string", output_path="string"),
+    },
+    "fix_data": {
+        "properties": _props(
+            data_path="string", output_path="string", strip_pii="boolean",
+        ),
+    },
+    "batch_check_directory": {
+        "properties": _props(
+            directory="string", schema_path="string", ruleset="string",
+            pattern="string", sample_count="integer",
+        ),
+        "required": ["directory"],
+    },
+    "check_drift": {
+        "properties": {
+            "data_path_a": {"type": "string"},
+            "data_path_b": {"type": "string"},
+            "fields": {"type": "array", "items": {"type": "string"}},
+        },
+    },
+    "check_leakage": {
+        "properties": {
+            "train_path": {"type": "string"},
+            "test_path": {"type": "string"},
+            "key_fields": {"type": "array", "items": {"type": "string"}},
+            "threshold": {"type": "number"},
+        },
+    },
+    "check_bias": {
+        "properties": _props(
+            data_path="string", label_field="string", text_field="string",
+        ),
+    },
+    "check_coverage": {
+        "properties": _props(data_path="string", sample_count="integer"),
+    },
+    "diagnose_skew": {
+        "properties": {
+            "path": {"type": "string"},
+            "key_fields": {"type": "array", "items": {"type": "string"}},
+            "top_k": {"type": "integer"},
+            "salt_threshold": {"type": "number"},
+        },
+        "required": ["key_fields"],
+    },
+    "suggest_rules": {
+        "properties": _props(
+            path="string", enum_max_uniques="integer",
+            required_threshold="number",
+        ),
+    },
+}
+
+
 def _tool_descriptor(name: str) -> Dict[str, Any]:
+    schema = {"type": "object", "additionalProperties": True}
+    schema.update(_TOOL_SCHEMAS.get(name, {}))
     return {
         "name": name,
         "description": _TOOL_DESCRIPTIONS.get(name, name),
-        "inputSchema": {"type": "object", "additionalProperties": True},
+        "inputSchema": schema,
     }
 
 

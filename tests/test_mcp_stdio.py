@@ -47,6 +47,14 @@ def test_initialize_list_call_roundtrip(spark):
     assert "tools" in init["capabilities"]
     listed = {t["name"] for t in replies[1]["result"]["tools"]}
     assert listed == set(TOOLS)
+    schemas = {t["name"]: t["inputSchema"] for t in replies[1]["result"]["tools"]}
+    assert schemas["validate_from_datarecipe"]["required"] == ["analysis_dir"]
+    assert schemas["check_drift"]["properties"]["data_path_a"] == {
+        "type": "string"
+    }
+    assert schemas["compare_distributions"]["properties"]["file_paths"][
+        "items"
+    ] == {"type": "string"}
     call = replies[2]["result"]
     assert call["isError"] is False
     payload = json.loads(call["content"][0]["text"])
