@@ -284,42 +284,25 @@ def call_tool(
                     ruleset=engine.ruleset,
                     schema=ValidationSchema.from_dict(_json.load(f)),
                 )
-        patterns = (
-            [s.strip() for s in args["pattern"].split(",") if s.strip()]
-            if args.get("pattern")
-            else None
-        )
         return SRC.check_directory(
-            spark, args["directory"], engine=engine, patterns=patterns
+            spark,
+            args["directory"],
+            engine=engine,
+            patterns=SRC.split_patterns(args.get("pattern")),
         )
 
     if name == "compare_distributions":
         # reference signature: N file paths → per-file distributions;
         # a 2-file call also returns the field-delta comparison
-        from datacheck_spark import sources as SRC
-        from datacheck_spark.engine import ValidationEngine as _VE
-        from datacheck_spark.stats import compare_distributions
+        from datacheck_spark.stats import (
+            compare_distributions,
+            per_file_distributions,
+        )
 
         paths = args.get("file_paths") or []
         if len(paths) < 2:
             raise ValueError("compare_distributions requires >= 2 file_paths")
-        engine = _VE()
-        frames = []
-        dists = []
-        for p in paths:
-            df, _ = SRC.load_data(spark, p)
-            frames.append(df)
-            res = engine.check(
-                df, find_duplicates=False, find_near_duplicates=False,
-                detect_anomalies=False,
-            )
-            dists.append(
-                {
-                    "file": p,
-                    "sample_count": res.total_samples,
-                    "distribution": res.distribution,
-                }
-            )
+        frames, dists = per_file_distributions(spark, paths)
         out: Dict[str, Any] = {"files": dists}
         if len(frames) == 2:
             out["comparison"] = compare_distributions(frames[0], frames[1])

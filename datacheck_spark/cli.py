@@ -71,13 +71,11 @@ def cmd_check(args) -> int:
     engine = ValidationEngine(ruleset=ruleset, schema=schema)
     p = Path(args.data)
     if p.is_dir():
-        patterns = (
-            [s.strip() for s in args.pattern.split(",") if s.strip()]
-            if args.pattern
-            else None
-        )
         out = SRC.check_directory(
-            spark, args.data, engine=engine, patterns=patterns
+            spark,
+            args.data,
+            engine=engine,
+            patterns=SRC.split_patterns(args.pattern),
         )
         from datacheck_spark.report import (
             batch_to_html,
@@ -142,7 +140,7 @@ def cmd_check(args) -> int:
             idc,
             provider=os.environ.get("DATACHECK_LLM_PROVIDER", "mock"),
             model=os.environ.get("DATACHECK_LLM_MODEL"),
-        )
+        ).persist()  # two actions below: judge each row ONCE
         agg = judged.agg(
             F.count("*").alias("n"),
             F.sum((~F.col("llm_quality_passed")).cast("long")).alias("f"),
@@ -162,9 +160,10 @@ def cmd_check(args) -> int:
             ],
         }
         result.info_count += failed
+        judged.unpersist()
     if args.output:
-        # explicit -f wins over the output extension (reference
-        # QualityReport.save(output, format))
+        # explicit -f wins over the output extension; without -f the
+        # extension picks the saved format (save_report fallback)
         save_report(result, args.output, fmt=args.format)
     if args.format == "json":
         from datacheck_spark.report import to_json_report
@@ -415,31 +414,16 @@ def cmd_compare(args) -> int:
     the field-delta comparison (op 28) is appended as JSON."""
     from pathlib import Path
 
-    from datacheck_spark import sources as SRC
-    from datacheck_spark.engine import ValidationEngine
-    from datacheck_spark.stats import compare_distributions
+    from datacheck_spark.stats import (
+        compare_distributions,
+        per_file_distributions,
+    )
 
     if len(args.files) < 2:
         print("error: need at least 2 files")
         return 1
     spark = _spark("datacheck-compare", args.master)
-    engine = ValidationEngine()
-    dists = []
-    frames = []
-    for f in args.files:
-        df, _ = SRC.load_data(spark, f)
-        frames.append(df)
-        res = engine.check(
-            df, find_duplicates=False, find_near_duplicates=False,
-            detect_anomalies=False,
-        )
-        dists.append(
-            {
-                "file": f,
-                "sample_count": res.total_samples,
-                "distribution": res.distribution,
-            }
-        )
+    frames, dists = per_file_distributions(spark, args.files)
 
     lines = ["# Distribution comparison", "", "## Files", "",
              "| file | samples |", "|------|---------|"]
@@ -677,9 +661,12 @@ def main(argv=None) -> int:
     c.add_argument("--ruleset", default="default")
     c.add_argument("--rules-file")
     c.add_argument("-s", "--schema")
+    # None = markdown on stdout, extension-detected on -o saves;
+    # explicit -f wins over the output extension (reference default is
+    # always-markdown — extension detection is the friendlier superset)
     c.add_argument(
         "-f", "--format",
-        choices=("markdown", "json", "html"), default="markdown",
+        choices=("markdown", "json", "html"), default=None,
     )
     c.add_argument("--input-format", default=None)
     c.add_argument("--threshold", type=float, default=0.5)

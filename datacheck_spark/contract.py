@@ -2202,7 +2202,7 @@ def key_skew_events(spark, sf_dir):
     UNION ALL SELECT 'event_type', 'json_valid', NULL, NULL, NULL
       FROM p WHERE total > 0 AND nn_et = total AND nj_et = 0
     UNION ALL SELECT 'event_type', 'json_path', NULL, NULL, '$.' || key
-      FROM (SELECT unnest(json_keys(event_type)) AS key, event_type AS j
+      FROM (SELECT unnest(list_distinct(json_keys(event_type))) AS key, event_type AS j
               FROM events WHERE json_valid(event_type)) t, p
      GROUP BY key, p.total, p.nn_et, p.nj_et
     HAVING p.total > 0 AND p.nn_et = p.total AND p.nj_et = 0
@@ -2228,7 +2228,7 @@ def key_skew_events(spark, sf_dir):
     UNION ALL SELECT 'props', 'json_valid', NULL, NULL, NULL
       FROM p WHERE total > 0 AND nn_props = total AND nj_props = 0
     UNION ALL SELECT 'props', 'json_path', NULL, NULL, '$.' || key
-      FROM (SELECT unnest(json_keys(props)) AS key, props AS j
+      FROM (SELECT unnest(list_distinct(json_keys(props))) AS key, props AS j
               FROM events WHERE json_valid(props)) t, p
      GROUP BY key, p.total, p.nn_props, p.nj_props
     HAVING p.total > 0 AND p.nn_props = p.total AND p.nj_props = 0
@@ -2259,14 +2259,15 @@ def suggest_rules_events(spark, sf_dir):
     """
     SELECT event_id,
            coalesce(json_valid(props), FALSE) AS json_ok,
-           coalesce(json_extract_string(props, '$.k') IS NOT NULL
-                    AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
-                        IS NOT NULL
-                    AND CAST(json_extract_string(props, '$.k') AS DOUBLE)
-                        BETWEEN 0 AND 50,
-                    FALSE) AS k_in_range,
-           coalesce(json_extract_string(props, '$.missing') IS NOT NULL,
-                    FALSE) AS missing_path
+           coalesce(
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                       BETWEEN 0 AND 50
+                  ELSE FALSE END, FALSE) AS k_in_range,
+           coalesce(
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.missing') IS NOT NULL
+                  ELSE FALSE END, FALSE) AS missing_path
     FROM events ORDER BY event_id
     """,
 )

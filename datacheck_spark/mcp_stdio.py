@@ -92,9 +92,11 @@ _TOOL_SCHEMAS: Dict[str, Dict[str, Any]] = {
         ),
     },
     "batch_check_directory": {
+        # no sample_count: the fused per-file pass reads everything
+        # (advertising an ignored limit would be worse than omitting it)
         "properties": _props(
             directory="string", schema_path="string", ruleset="string",
-            pattern="string", sample_count="integer",
+            pattern="string",
         ),
         "required": ["directory"],
     },

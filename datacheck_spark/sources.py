@@ -125,6 +125,14 @@ def load_glob(
     return out
 
 
+def split_patterns(pattern: Optional[str]) -> Optional[List[str]]:
+    """Comma-separated ``--pattern`` string → glob list (None passes
+    through, meaning the default extension set)."""
+    if not pattern:
+        return None
+    return [s.strip() for s in pattern.split(",") if s.strip()] or None
+
+
 def check_directory(
     spark: SparkSession,
     dir_path: str,

@@ -155,6 +155,34 @@ def compute_distribution(
     return distribution
 
 
+def per_file_distributions(spark, paths, engine=None):
+    """Per-file distribution summaries for N data files — the shared
+    core of CLI ``compare`` and the ``compare_distributions`` MCP tool
+    (reference ``cli.py:236-313``). Returns (frames, dists) where each
+    dist is ``{file, sample_count, distribution}``."""
+    from datacheck_spark import sources as SRC
+    from datacheck_spark.engine import ValidationEngine
+
+    engine = engine or ValidationEngine()
+    frames = []
+    dists = []
+    for p in paths:
+        df, _ = SRC.load_data(spark, p)
+        frames.append(df)
+        res = engine.check(
+            df, find_duplicates=False, find_near_duplicates=False,
+            detect_anomalies=False,
+        )
+        dists.append(
+            {
+                "file": p,
+                "sample_count": res.total_samples,
+                "distribution": res.distribution,
+            }
+        )
+    return frames, dists
+
+
 def compare_distributions(
     df: DataFrame,
     reference: DataFrame,

@@ -156,12 +156,17 @@ def _universal_json_keys(df: DataFrame, col: str, total: int) -> List[str]:
             F.from_json(F.col(col).cast("string"), "map<string,string>")
         ).alias("k", "v")
     )
-    rows = kv.groupBy("k").agg(
-        F.sum(F.col("v").isNotNull().cast("long")).alias("nn")
-    ).collect()
-    return sorted(
-        r["k"] for r in rows if r["nn"] == total and _KEY_RE.fullmatch(r["k"])
+    # filter DISTRIBUTED, collect only qualifying keys: a payload with
+    # id-like keys has unbounded key cardinality, but at most
+    # (shortest row's key count) keys can be universal
+    rows = (
+        kv.groupBy("k")
+        .agg(F.sum(F.col("v").isNotNull().cast("long")).alias("nn"))
+        .where(F.col("nn") == F.lit(total))
+        .where(F.col("k").rlike("^[A-Za-z0-9_]+$"))
+        .collect()
     )
+    return sorted(r["k"] for r in rows if _KEY_RE.fullmatch(r["k"]))
 
 
 def suggest_rules(

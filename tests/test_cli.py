@@ -154,6 +154,12 @@ def test_check_llm_ruleset_cli(spark, tmp_path, capsys):
     assert rr["severity"] == "info"
     assert rr["passed"] == 1 and rr["failed"] == 1
     assert rr["failed_samples"] == ["bad"]
+    # without -f the .json extension still picks the saved format
+    out2 = tmp_path / "report2.json"
+    rc = main(["check", str(data), "-o", str(out2), "--threshold", "0.0"])
+    capsys.readouterr()
+    assert rc == 0
+    assert "summary" in json.loads(out2.read_text())
 
 
 def test_check_directory_pattern_cli(spark, tmp_path, capsys):
