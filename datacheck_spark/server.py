@@ -35,7 +35,17 @@ def make_handler(spark: SparkSession):
 
         def do_GET(self):
             if self.path == "/api/tools":
-                self._send(200, {"tools": tool_api.TOOLS})
+                # same typed descriptors the MCP tools/list publishes
+                from datacheck_spark.mcp_stdio import _tool_descriptor
+
+                self._send(
+                    200,
+                    {
+                        "tools": [
+                            _tool_descriptor(t) for t in tool_api.TOOLS
+                        ]
+                    },
+                )
             elif self.path == "/health":
                 self._send(200, {"status": "ok"})
             else:

@@ -55,7 +55,12 @@ def test_http_server_round_trip(spark):
     try:
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/api/tools") as r:
             tools = json.loads(r.read())["tools"]
-        assert "check_data_quality" in tools
+        by_name = {t["name"]: t for t in tools}
+        assert "check_data_quality" in by_name
+        # typed descriptors, same as MCP tools/list
+        assert by_name["validate_from_datarecipe"]["inputSchema"][
+            "required"
+        ] == ["analysis_dir"]
 
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/api/check",
