@@ -9,6 +9,19 @@ deterministic synthetic transcripts table (~1M turns, cached as parquet
 between runs), reported alongside validated turns/sec. Secondary
 queries run over the driver's sf tables.
 
+Interference hardening: this host shows multi-minute external load
+bursts (loadavg spikes to ~28) that inflate every wall 2-3x; best-of-5
+inside one contaminated window is not enough (round-3 driver capture
+recorded half the engine's real throughput). Each timed window now
+measures CPU jiffies consumed by processes OUTSIDE our own process
+subtree (/proc/stat total busy minus our python+JVM subtree from
+/proc/<pid>/stat) — a direct external-interference signal that works
+even while our own job saturates all 32 threads. Runs whose window saw
+other-process CPU above BENCH_OTHER_CPU_FRAC (default 15% of host
+capacity) are discarded and re-run (bounded retries); every run's
+other-CPU fraction and loadavg sample is recorded in the output JSON so
+a contaminated capture is self-labeling even when retries run out.
+
 Scaling evidence (local[8] vs local[32]) lives in bench_scaling.py.
 """
 
@@ -27,6 +40,105 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "640000"))
 CACHE_DIR = ROOT / ".bench_cache"
+
+# A timed window is "contaminated" when processes outside our subtree
+# burned more than this fraction of total host CPU capacity during it.
+OTHER_CPU_FRAC = float(os.environ.get("BENCH_OTHER_CPU_FRAC", "0.15"))
+# Total extra headline runs allowed when discarding contaminated ones.
+MAX_EXTRA_RUNS = int(os.environ.get("BENCH_MAX_EXTRA", "10"))
+
+_HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+_NCPU = os.cpu_count() or int(CPUS)
+
+
+def _host_busy_jiffies() -> int | None:
+    """Total non-idle jiffies across all host CPUs (user+sys+nice+irq+...)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        return sum(vals) - idle
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _subtree_cpu_jiffies(root_pid: int) -> int | None:
+    """utime+stime jiffies of root_pid and all live descendants.
+
+    Covers the python driver, the Spark JVM child, and the pyspark
+    worker daemons under it. Exited short-lived workers drop out of the
+    sum, which only *overstates* other-process CPU — safe direction for
+    a contamination detector.
+    """
+    try:
+        procs: dict[int, tuple[int, int]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue
+            # comm may contain spaces/parens: split after the last ')'
+            rest = raw.rsplit(")", 1)[1].split()
+            # rest[0]=state rest[1]=ppid ... rest[11]=utime rest[12]=stime
+            procs[int(p)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            children.setdefault(ppid, []).append(pid)
+        total = 0
+        stack = [root_pid]
+        while stack:
+            pid = stack.pop()
+            if pid in procs:
+                total += procs[pid][1]
+            stack.extend(children.get(pid, ()))
+        return total
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+class InterferenceProbe:
+    """Samples host-vs-our CPU around a timed window."""
+
+    def __init__(self):
+        self._pid = os.getpid()
+
+    def start(self):
+        self._t0 = time.time()
+        self._busy0 = _host_busy_jiffies()
+        self._ours0 = _subtree_cpu_jiffies(self._pid)
+
+    def stop(self) -> dict:
+        wall = time.time() - self._t0
+        busy1 = _host_busy_jiffies()
+        ours1 = _subtree_cpu_jiffies(self._pid)
+        out = {"wall": wall, "other_cpu_frac": None, "load1": None}
+        try:
+            out["load1"] = round(os.getloadavg()[0], 1)
+        except OSError:
+            pass
+        if None not in (self._busy0, busy1, self._ours0, ours1) and wall > 0:
+            capacity = _NCPU * _HZ * wall
+            other = max(0, (busy1 - self._busy0) - (ours1 - self._ours0))
+            out["other_cpu_frac"] = round(other / capacity, 3)
+        return out
+
+
+def _timed(fn, *args) -> tuple[object, dict]:
+    """Run fn under the interference probe; returns (result, probe dict)."""
+    probe = InterferenceProbe()
+    probe.start()
+    result = fn(*args)
+    meta = probe.stop()
+    return result, meta
+
+
+def _contaminated(meta: dict) -> bool:
+    frac = meta.get("other_cpu_frac")
+    return frac is not None and frac > OTHER_CPU_FRAC
 
 
 def get_spark(cpus: str):
@@ -113,27 +225,96 @@ def main():
     spark = get_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    try:
+        load_start = round(os.getloadavg()[0], 1)
+    except OSError:
+        load_start = None
+
     tpath = ensure_transcripts(spark, BENCH_CONVS)
-    # warm the JVM / code cache / page cache once, then take the best
-    # of 5 measured runs (the host shows bursty interference with a
-    # 50%+ wall spread across runs; min is the least-noisy estimator
-    # of the job's true cost, and the median is reported alongside)
+    # Warm the JVM / code cache / page cache once (untimed), then take
+    # the best of N *clean* measured runs. A run is discarded and
+    # re-run when its window saw external CPU above OTHER_CPU_FRAC of
+    # host capacity; the min over clean runs is the least-noisy
+    # estimator of the job's true cost (median reported alongside).
     run_transcript_suite(spark, tpath)
     n_runs = int(os.environ.get("BENCH_RUNS", "5"))
-    runs = [run_transcript_suite(spark, tpath) for _ in range(n_runs)]
-    suite = min(runs, key=lambda r: r["wall_sec"])
-    walls = sorted(round(r["wall_sec"], 2) for r in runs)
-    suite["all_walls"] = [round(r["wall_sec"], 2) for r in runs]
-    suite["median_wall"] = walls[len(walls) // 2]
+
+    clean_runs: list[dict] = []
+    dirty_runs: list[dict] = []
+    probes: list[dict] = []
+    extra_used = 0
+    attempts = 0
+    while len(clean_runs) < n_runs and attempts < n_runs + MAX_EXTRA_RUNS:
+        attempts += 1
+        run, meta = _timed(run_transcript_suite, spark, tpath)
+        probes.append(
+            {
+                "wall": round(meta["wall"], 2),
+                "other_cpu_frac": meta["other_cpu_frac"],
+                "load1": meta["load1"],
+            }
+        )
+        if _contaminated(meta):
+            dirty_runs.append(run)
+            extra_used += 1
+            continue
+        clean_runs.append(run)
+    # Widen the sample when the clean walls still spread >25% — residual
+    # undetected noise; more runs make the min robust.
+    if clean_runs and extra_used < MAX_EXTRA_RUNS:
+        walls = [r["wall_sec"] for r in clean_runs]
+        while (
+            (max(walls) - min(walls)) / max(min(walls), 1e-9) > 0.25
+            and extra_used < MAX_EXTRA_RUNS
+            and len(clean_runs) < 2 * n_runs
+        ):
+            run, meta = _timed(run_transcript_suite, spark, tpath)
+            probes.append(
+                {
+                    "wall": round(meta["wall"], 2),
+                    "other_cpu_frac": meta["other_cpu_frac"],
+                    "load1": meta["load1"],
+                }
+            )
+            extra_used += 1
+            if _contaminated(meta):
+                dirty_runs.append(run)
+                continue
+            clean_runs.append(run)
+            walls = [r["wall_sec"] for r in clean_runs]
+
+    interference = "none"
+    if not clean_runs:
+        # every window was contaminated: fall back to min over all
+        # attempts (an upper bound on true cost) and say so loudly.
+        interference = "unresolved"
+        clean_runs = dirty_runs
+    elif dirty_runs:
+        interference = "retried"
+    dirty_walls = [round(r["wall_sec"], 2) for r in dirty_runs]
+
+    suite = min(clean_runs, key=lambda r: r["wall_sec"])
+    walls_sorted = sorted(round(r["wall_sec"], 2) for r in clean_runs)
+    suite["all_walls"] = [round(r["wall_sec"], 2) for r in clean_runs]
+    suite["median_wall"] = walls_sorted[len(walls_sorted) // 2]
 
     queries = contract.queries()
     per_query = {}
+    query_probes = {}
     for name in SECONDARY:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        per_query[name] = round(time.time() - t0, 3)
+        best_wall = None
+        for attempt in range(3):  # original + up to 2 interference retries
+            _, meta = _timed(lambda: fn(spark, SF_DIR).count())
+            # a contaminated wall is still an upper bound; keep the min
+            best_wall = (
+                meta["wall"] if best_wall is None
+                else min(best_wall, meta["wall"])
+            )
+            if not _contaminated(meta):
+                break
+            query_probes.setdefault(name, []).append(meta["other_cpu_frac"])
+        per_query[name] = round(best_wall, 3)
     per_query["transcript_suite"] = round(suite["wall_sec"], 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -149,7 +330,14 @@ def main():
         "suite_walls_sec": suite.get("all_walls", []),
         "suite_wall_median_sec": suite.get("median_wall"),
         "cpus": int(CPUS),
+        "interference": interference,
+        "host_load_start": load_start,
+        "discarded_contaminated_walls_sec": dirty_walls,
+        "run_probes": probes,
+        "other_cpu_frac_threshold": OTHER_CPU_FRAC,
     }
+    if query_probes:
+        out["secondary_contaminated"] = query_probes
     print(json.dumps(out))
     spark.stop()
 

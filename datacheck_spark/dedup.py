@@ -49,31 +49,72 @@ def duplicate_groups(
     data_cols: Sequence[str],
     id_col: Optional[str] = None,
     max_groups: int = 1000,
+    max_ids_per_group: int = 10_000,
 ) -> List[List[str]]:
     """Exact duplicate id-groups (``checker.py:422-439``).
 
     Groups are returned with ids sorted and groups ordered by first id —
     a deterministic ordering (the reference preserves input order, which
     a distributed table does not have).
+
+    Memory bound: the reference returns *whole* groups, and so do we up
+    to ``max_ids_per_group`` ids; beyond that a group is truncated to
+    its ``max_ids_per_group`` smallest ids (one boilerplate text
+    duplicated 10^8 times must not buffer 10^8 ids in one aggregation
+    buffer). The bound is enforced BEFORE the ``collect_list`` by a
+    per-group ``row_number() <= K`` window filter; the window sort is
+    disk-spillable so a pathologically hot hash degrades to a slow task,
+    never an executor OOM. Group membership counts come from a separate
+    map-side-combinable ``count`` pass (skew-safe), whose >1 filter also
+    keeps the window shuffle to duplicate rows only.
     """
+    grouped = duplicate_groups_df(
+        df, data_cols, id_col, max_groups, max_ids_per_group
+    ).collect()
+    return [list(r["ids"]) for r in grouped]
+
+
+def duplicate_groups_df(
+    df: DataFrame,
+    data_cols: Sequence[str],
+    id_col: Optional[str] = None,
+    max_groups: int = 1000,
+    max_ids_per_group: int = 10_000,
+) -> DataFrame:
+    """Pre-collect plan of :func:`duplicate_groups`: one row per group
+    with ``ids`` (bounded, sorted) and the true count ``n``."""
+    from pyspark.sql import Window
+
     id_expr = (
         F.col(id_col).cast("string")
         if id_col and id_col in df.columns
         else F.lit(None).cast("string")
     )
-    grouped = (
-        df.select(content_hash(data_cols).alias("__h"), id_expr.alias("__id"))
+    hashed = df.select(
+        content_hash(data_cols).alias("__h"), id_expr.alias("__id")
+    )
+    # pass 1: combinable per-hash counts (hot hash ships one partial row
+    # per input partition). n>1 filter makes the join below prune all
+    # unique rows before the window shuffle; AQE broadcasts it when the
+    # duplicate-hash set is small.
+    counts = (
+        hashed.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+    )
+    w = Window.partitionBy("__h").orderBy("__id")
+    return (
+        hashed.join(counts, "__h")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_ids_per_group)
         .groupBy("__h")
         .agg(
             F.sort_array(F.collect_list("__id")).alias("ids"),
-            F.count(F.lit(1)).alias("n"),
+            F.first("__n").alias("n"),
         )
-        .where(F.col("n") > 1)
         .orderBy(F.col("ids")[0])
         .limit(max_groups)
-        .collect()
     )
-    return [list(r["ids"]) for r in grouped]
 
 
 def duplicate_key_rows(df: DataFrame, keys: Sequence[str]) -> DataFrame:

@@ -80,6 +80,30 @@ def test_duplicate_key_rows(spark):
     assert dups[0]["a"] == "k1" and dups[0]["dup_count"] == 2
 
 
+def test_duplicate_groups_bounded_hot_hash(spark):
+    """A hash duplicated 1M times must not buffer 1M ids in one
+    aggregation buffer: the group comes back truncated to its
+    ``max_ids_per_group`` smallest ids while small groups stay whole
+    (reference parity), and the job survives the test session's 4g
+    driver heap."""
+    hot = spark.range(1_000_000).select(
+        F.format_string("h%07d", F.col("id")).alias("id"),
+        F.lit("boilerplate duplicated everywhere").alias("text"),
+    )
+    small = spark.createDataFrame(
+        [Row(id="a1", text="x"), Row(id="a2", text="x"),
+         Row(id="b1", text="only once")]
+    )
+    groups = D.duplicate_groups(
+        hot.unionByName(small), ["text"], "id", max_ids_per_group=50
+    )
+    assert sorted(["a1", "a2"]) in [sorted(g) for g in groups]
+    hot_groups = [g for g in groups if g[0].startswith("h")]
+    assert len(hot_groups) == 1
+    assert hot_groups[0] == [f"h{i:07d}" for i in range(50)]
+    assert ["b1"] not in groups  # singletons excluded
+
+
 def test_salted_agg_matches_plain(spark):
     df = spark.createDataFrame(
         [Row(k="hot", v=i) for i in range(100)]

@@ -103,6 +103,26 @@ def main():
         ],
     )
 
+    # 4b. duplicate_groups: ids-per-group bounded by a row_number window
+    # BEFORE the collect_list agg (no unbounded collect_list buffer —
+    # a hash duplicated 10^8 times spills in the window sort instead of
+    # OOMing the aggregation buffer)
+    from datacheck_spark.dedup import duplicate_groups_df
+    add(
+        "duplicate_groups (bounded collect_list)",
+        duplicate_groups_df(orders, ["o_custkey", "o_orderstatus"], "o_orderkey"),
+        [
+            (
+                "row_number bound precedes collect_list",
+                lambda p: "row_number" in p and "collect_list" in p,
+            ),
+            (
+                "pre-filter to dup hashes (join on counts>1)",
+                lambda p: "Join" in p,
+            ),
+        ],
+    )
+
     # 5. distribution agg: one scan, partial+final
     from datacheck_spark import stats as S  # noqa: F401
     agg_df = li.agg(
