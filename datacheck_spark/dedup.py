@@ -192,7 +192,26 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
 
     t = F.lower(py_strip(col))
     ln = F.length(t)
-    grams = F.array_distinct(
+
+    # Fast path: overlapping n-grams in ONE regex walk (zero-width
+    # lookahead capture). The naive per-position formulation —
+    # transform(sequence(1, len), i -> substring(t, i, n)) — re-runs
+    # the whole normalization expression (a Unicode-strip regex) for
+    # EVERY position because `transform` is CodegenFallback and
+    # interpreted eval has no common-subexpression elimination: O(len²)
+    # regex work per row, measured 13s/1000 docs vs <1s for this walk.
+    # (?s) so grams may span newlines, matching Python slicing.
+    regex_grams = F.array_distinct(
+        F.regexp_extract_all(t, F.lit(f"(?s)(?=(.{{{n}}}))"), 1)
+    )
+    # The lookahead walk advances by UTF-16 code unit, so rows with
+    # astral-plane chars (surrogate pairs) would emit bogus grams
+    # starting mid-pair; those rows (rare in real corpora) take the
+    # exact per-position path instead. Single-level lambdas only —
+    # nested lambdas break PythonUDF extraction when a signature UDF
+    # consumes this expression.
+    has_astral = t.rlike("[\\x{10000}-\\x{10FFFF}]")
+    slow_grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), ln - (n - 1)),
             lambda i: F.substring(t, i, n),
@@ -201,7 +220,8 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     return (
         F.when(t.isNull() | (ln == 0), F.array().cast("array<string>"))
         .when(ln < n, F.array(t))
-        .otherwise(grams)
+        .when(has_astral, slow_grams)
+        .otherwise(regex_grams)
     )
 
 
