@@ -249,33 +249,36 @@ def infer_schema(
 ) -> Dict[str, Any]:
     """Infer a validation schema (``checker.py:590-674``).
 
-    One agg pass: per-column non-null counts, string length min/max/avg,
-    numeric min/max, distinct counts; then one tiny follow-up job
-    collecting exact value sets only for enum candidates (≤ 10 distinct
-    numerics, ``checker.py:664-667``).
+    Exactly TWO jobs at any scale (the third — a separate ``count`` —
+    was pure job-latency overhead):
 
-    ``approx_distinct=None`` (default) is size-aware: exact
-    ``countDistinct`` up to ``anomaly.AUTO_EXACT_ROWS`` rows (oracle
-    parity at test scale), HyperLogLog sketches above it (bounded
-    state at 10^12 rows). The row count needed for the switch is the
-    ``total`` this function already computes. Enum detection stays
-    correct in sketch mode: HLL error (~2%) cannot pull a >10-distinct
-    column under the candidate bar at scale, and candidates are then
-    confirmed with an exact ``collect_set``.
+    - Job 1 fuses the row count, per-column non-null counts, string
+      length min/max/avg, numeric min/max and HLL distinct sketches —
+      every term map-side combinable, bounded state at 10^12 rows.
+    - Job 2 depends on size. At or below ``anomaly.AUTO_EXACT_ROWS``
+      (known from job 1) it fuses exact ``countDistinct`` with a
+      slice-bounded ``sort_array(collect_set)`` per numeric column —
+      exact oracle parity, and ``collect_set`` state is bounded by the
+      row cap. Above it, distinct counts come from the job-1 sketches
+      (HLL error ~2% cannot pull a >10-distinct column under the
+      candidate bar) and job 2 collects exact value sets only for the
+      (≤ enum_max_uniques-distinct, hence bounded) enum candidates —
+      and is skipped when there are none.
+
+    ``approx_distinct``: None (default) = the size-aware switch above;
+    True forces sketch mode; False forces exact ``countDistinct`` but
+    only fuses the enum sets when the row cap allows it.
     """
-    total = df.count()
-    if total == 0:
-        return {"fields": {}, "sample_count": 0}
-    if approx_distinct is None:
-        from datacheck_spark.anomaly import AUTO_EXACT_ROWS
-
-        approx_distinct = total > AUTO_EXACT_ROWS
+    from datacheck_spark.anomaly import AUTO_EXACT_ROWS
 
     dtypes = _dtype_map(df)
-    distinct = (
-        F.approx_count_distinct if approx_distinct else F.countDistinct
-    )
-    aggs = []
+    numeric_cols = [
+        c
+        for c in df.columns
+        if isinstance(dtypes[c], NumericType)
+        and not isinstance(dtypes[c], BooleanType)
+    ]
+    aggs = [F.count(F.lit(1)).alias("__total")]
     for c in df.columns:
         dt = dtypes[c]
         aggs.append(F.count(c).alias(f"nn__{c}"))
@@ -285,30 +288,62 @@ def infer_schema(
                 F.max(F.length(c)).alias(f"lmax__{c}"),
                 F.avg(F.length(c)).alias(f"lavg__{c}"),
             ]
-        elif isinstance(dt, NumericType) and not isinstance(dt, BooleanType):
+        elif c in numeric_cols:
             aggs += [
                 F.min(c).alias(f"vmin__{c}"),
                 F.max(c).alias(f"vmax__{c}"),
-                distinct(c).alias(f"uniq__{c}"),
+                F.approx_count_distinct(c).alias(f"happrox__{c}"),
             ]
     row = df.agg(*aggs).collect()[0]
+    total = row["__total"]
+    if total == 0:
+        return {"fields": {}, "sample_count": 0}
+    if approx_distinct is None:
+        approx_distinct = total > AUTO_EXACT_ROWS
 
-    enum_candidates = [
-        c
-        for c in df.columns
-        if isinstance(dtypes[c], NumericType)
-        and not isinstance(dtypes[c], BooleanType)
-        and 0 < row[f"uniq__{c}"] <= enum_max_uniques
-    ]
+    uniq: Dict[str, int] = {}
     enums: Dict[str, List[Any]] = {}
-    if enum_candidates:
-        erow = df.agg(
-            *[
-                F.sort_array(F.collect_set(c)).alias(c)
-                for c in enum_candidates
+    if not approx_distinct and numeric_cols:
+        fuse_enums = total <= AUTO_EXACT_ROWS
+        aggs2 = [
+            F.countDistinct(c).alias(f"uniq__{c}") for c in numeric_cols
+        ]
+        if fuse_enums:
+            aggs2 += [
+                F.slice(
+                    F.sort_array(F.collect_set(c)),
+                    1,
+                    enum_max_uniques + 1,
+                ).alias(f"set__{c}")
+                for c in numeric_cols
             ]
-        ).collect()[0]
-        enums = {c: list(erow[c]) for c in enum_candidates}
+        row2 = df.agg(*aggs2).collect()[0]
+        uniq = {c: row2[f"uniq__{c}"] for c in numeric_cols}
+        if fuse_enums:
+            enums = {
+                c: list(row2[f"set__{c}"])
+                for c in numeric_cols
+                if 0 < uniq[c] <= enum_max_uniques
+            }
+            fuse_enums_done = True
+        else:
+            fuse_enums_done = False
+    else:
+        uniq = {c: row[f"happrox__{c}"] for c in numeric_cols}
+        fuse_enums_done = False
+
+    if not fuse_enums_done:
+        enum_candidates = [
+            c for c in numeric_cols if 0 < uniq[c] <= enum_max_uniques
+        ]
+        if enum_candidates:
+            erow = df.agg(
+                *[
+                    F.sort_array(F.collect_set(c)).alias(c)
+                    for c in enum_candidates
+                ]
+            ).collect()[0]
+            enums = {c: list(erow[c]) for c in enum_candidates}
 
     fields: Dict[str, Any] = {}
     for c in df.columns:
