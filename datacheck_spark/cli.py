@@ -69,14 +69,20 @@ def cmd_check(args) -> int:
     from pathlib import Path
 
     engine = ValidationEngine(ruleset=ruleset, schema=schema)
+    paths = list(args.data) if isinstance(args.data, list) else [args.data]
+    args.data = paths[0]
     p = Path(args.data)
-    if p.is_dir():
-        out = SRC.check_directory(
-            spark,
-            args.data,
-            engine=engine,
-            patterns=SRC.split_patterns(args.pattern),
-        )
+    if len(paths) > 1 or p.is_dir():
+        if len(paths) > 1:
+            # pre-commit hook surface: explicit changed-file list
+            out = SRC.check_files(spark, paths, engine=engine)
+        else:
+            out = SRC.check_directory(
+                spark,
+                args.data,
+                engine=engine,
+                patterns=SRC.split_patterns(args.pattern),
+            )
         from datacheck_spark.report import (
             batch_to_html,
             batch_to_markdown,
@@ -657,7 +663,10 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("check")
-    c.add_argument("data")
+    # nargs="+": pre-commit passes every matched changed file as argv
+    # (one invocation, N files) — a single path keeps the original
+    # file-or-directory semantics
+    c.add_argument("data", nargs="+")
     c.add_argument("--ruleset", default="default")
     c.add_argument("--rules-file")
     c.add_argument("-s", "--schema")

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,6 +78,14 @@ def load_glob(
         for f in root.rglob(pat)
         if f.is_file() and f.suffix.lower() in SUPPORTED_EXTENSIONS
     )
+    return load_file_list(spark, files)
+
+
+def load_file_list(spark: SparkSession, files: Sequence[Path]) -> DataFrame:
+    """Read an explicit list of supported files into one DataFrame
+    tagged with ``source_file`` — shared by :func:`load_glob`
+    (directory discovery) and :func:`check_files` (the pre-commit hook
+    entry, which receives the changed files as argv)."""
     jsonl_files = [str(f) for f in files if f.suffix.lower() == ".jsonl"]
     json_files = [str(f) for f in files if f.suffix.lower() == ".json"]
     csv_files = [str(f) for f in files if f.suffix.lower() == ".csv"]
@@ -170,8 +178,65 @@ def check_directory(
     if not root.is_dir():
         return {"success": False, "error": f"not a directory: {dir_path}"}
 
-    skipped: List[str] = []
     df = load_glob(spark, dir_path, patterns)
+    return _batch_check(df, _rel, engine, extra={"directory": str(root)})
+
+
+def check_files(
+    spark: SparkSession,
+    paths: Sequence[str],
+    engine=None,
+) -> Dict[str, Any]:
+    """Batch check over an EXPLICIT file list — the pre-commit hook
+    entrypoint (matched changed files arrive as argv; mirrors the
+    reference's ``.pre-commit-hooks.yaml:1-6`` hook surface). Same
+    fused one-pass aggregation as :func:`check_directory`, with results
+    keyed by the paths exactly as given."""
+    from datacheck_spark.engine import ValidationEngine
+
+    engine = engine or ValidationEngine()
+    files = [Path(p) for p in paths]
+    unsupported = [
+        str(f) for f in files
+        if f.suffix.lower() not in SUPPORTED_EXTENSIONS or not f.is_file()
+    ]
+    supported = [
+        f for f in files
+        if f.suffix.lower() in SUPPORTED_EXTENSIONS and f.is_file()
+    ]
+    given = {str(f.resolve()): str(p) for f, p in zip(files, paths)}
+
+    def _key(source_file: str) -> str:
+        p = source_file
+        for prefix in ("file://", "file:"):
+            if p.startswith(prefix):
+                p = p[len(prefix):]
+                break
+        p = "/" + p.lstrip("/")
+        return given.get(str(Path(p).resolve()), Path(p).name)
+
+    df = load_file_list(spark, supported)
+    out = _batch_check(
+        df, _key, engine,
+        extra={"files": [str(p) for p in paths]},
+        skipped=[f"{u}: unsupported or missing" for u in unsupported],
+    )
+    return out
+
+
+def _batch_check(
+    df: DataFrame,
+    rel_fn,
+    engine,
+    extra: Optional[Dict[str, Any]] = None,
+    skipped: Optional[List[str]] = None,
+) -> Dict[str, Any]:
+    """Shared fused batch aggregation over a ``source_file``-tagged
+    frame: ONE rule pass + groupBy(source_file) — not a file loop."""
+    from datacheck_spark.engine import HAS_ERROR
+
+    _rel = rel_fn
+    skipped = list(skipped or [])
     if "source_file" not in df.columns or not df.columns:
         return {
             "success": True,
@@ -179,6 +244,7 @@ def check_directory(
             "overall_pass_rate": 1.0,
             "file_results": {},
             "skipped_files": skipped,
+            **(extra or {}),
         }
 
     if "_corrupt_record" in df.columns:
@@ -193,7 +259,7 @@ def check_directory(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        skipped = [f"{name}: {n} corrupt records" for name, n in sorted(corrupt_per_file.items())]
+        skipped += [f"{name}: {n} corrupt records" for name, n in sorted(corrupt_per_file.items())]
         df = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
 
     from datacheck_spark.rules.compiler import Severity
@@ -239,7 +305,7 @@ def check_directory(
         warnings += int(r["warnings"] or 0)
     return {
         "success": True,
-        "directory": str(root),
+        **(extra or {}),
         "total_files": len(file_results),
         "file_results": file_results,
         "total_samples": total,
