@@ -59,6 +59,11 @@ from pyspark.sql import functions as F
 
 INCR_MANIFEST = "incremental.json"
 
+# Upper bound on files validated (and collected) per committed batch —
+# keeps every driver-side structure in _validate_group at metadata
+# scale no matter how file_group_size is configured.
+MAX_FILES_PER_GROUP = 4096
+
 _FILE_URI = re.compile(r"^file:/+")
 
 
@@ -131,7 +136,14 @@ class IncrementalValidator:
         self.rule_version = rule_version
         self.checker = checker
         self.key_cols = list(key_cols or ["conv_id", "turn_idx"])
-        self.file_group_size = int(file_group_size)
+        # The only driver-side collect proportional to input (per-file
+        # stats + footer row counts in _validate_group) is bounded by
+        # the group size, so a full run over a 10^6-file table streams
+        # through ceil(10^6 / group) bounded batches instead of one
+        # 10^6-entry collect. Clamp so a caller config can't undo that.
+        self.file_group_size = max(
+            1, min(int(file_group_size), MAX_FILES_PER_GROUP)
+        )
 
     # --- manifest -----------------------------------------------------
 
@@ -246,6 +258,9 @@ class IncrementalValidator:
         # overwrite heals a previous killed run's uncommitted batch dir
         v.write.mode("overwrite").parquet(self._batch_dir(batch))
 
+        # driver state here is bounded by the group size (clamped to
+        # MAX_FILES_PER_GROUP): len(paths) footer reads and a
+        # <=len(paths)-row collect below — never table-proportional
         rows = {p: _parquet_num_rows(key_to_path(p)) for p in paths}
         # error_rows = distinct failing rows at ERROR severity — the
         # unit the report path's pass_rate gate counts in

@@ -285,3 +285,33 @@ def test_group_commit_resume(spark, tmp_path, table, checker):
     assert out["batches_written"] == [0, 1, 2]
     st = iv.load_state()
     assert {m["batch"] for m in st["files"].values()} == {0, 1, 2}
+
+
+def test_many_file_table_bounded_groups(spark, tmp_path, checker):
+    """A full run over a many-file table streams through bounded
+    groups: per-batch driver collects stay at group size, the manifest
+    records every file, and the live view equals a from-scratch run."""
+    from datacheck_spark.incremental import MAX_FILES_PER_GROUP
+
+    t = tmp_path / "many"
+    df = generate_transcripts(spark, n_convs=120, turns_per_conv=4, seed=13)
+    _write(df, t, n_files=96)
+
+    # config clamp: an unbounded group size cannot undo the bound
+    iv_huge = IncrementalValidator(
+        str(tmp_path / "ckpt0"), checker=checker, file_group_size=10**9
+    )
+    assert iv_huge.file_group_size == MAX_FILES_PER_GROUP
+
+    iv = IncrementalValidator(
+        str(tmp_path / "ckpt"), checker=checker, file_group_size=16
+    )
+    out = iv.run(spark, str(t))
+    assert out["new_files"] == 96
+    assert out["batches_written"] == list(range(6))  # ceil(96/16)
+    st = iv.load_state()
+    assert len(st["files"]) == 96
+    # every batch bounded by the group size
+    assert all(b["files"] <= 16 for b in st["batches"].values())
+    full = checker.violations(spark.read.parquet(str(t)))
+    assert _vset(iv.live_violations(spark)) == _vset(full)
