@@ -242,6 +242,25 @@ def decode_jpeg_header(data: bytes) -> Dict[str, Any]:
             "channels": len(img.getbands()),
             "pixels": np.asarray(img.convert("RGB")),
         }
+    dims = _jpeg_sof_dims(data)
+    if dims is None:
+        raise ValueError("JPEG: no SOF marker")
+    w, h, channels = dims
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "pixels": None,
+    }
+
+
+def _jpeg_sof_dims(data: bytes):
+    """(width, height, channels) from the first SOF0/1/2 marker, or
+    None — the pure-header scan shared by :func:`decode_jpeg_header`
+    and the AVI first-frame (MJPEG) parse."""
+    if data[:3] != b"\xff\xd8\xff":
+        return None
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -249,18 +268,37 @@ def decode_jpeg_header(data: bytes) -> Dict[str, Any]:
             continue
         marker = data[pos + 1]
         if marker in (0xC0, 0xC1, 0xC2):
+            if pos + 10 > len(data):
+                return None
             h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
-            channels = data[pos + 9]
-            return {
-                "format": "jpeg",
-                "width": int(w),
-                "height": int(h),
-                "channels": int(channels),
-                "pixels": None,
-            }
+            return int(w), int(h), int(data[pos + 9])
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         pos += 2 + seglen
-    raise ValueError("JPEG: no SOF marker")
+    return None
+
+
+def encode_jpeg_header_stub(
+    width: int, height: int, channels: int = 3
+) -> bytes:
+    """Structurally parseable JPEG bytes (SOI + JFIF APP0 + SOF0 + EOI)
+    carrying real dimensions — enough for every header-level JPEG/MJPEG
+    consumer here; NOT a decodable image (no scan data). Used to build
+    MJPEG frame payloads for AVI fixtures without a DCT codec."""
+    # APP0 length 16 = len(2) + "JFIF\0"(5) + version(2) + units(1)
+    #                + density(4) + thumbnail dims(2)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + bytes(6)
+    comps = b"".join(
+        bytes([i + 1, 0x11, 0]) for i in range(channels)
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * channels)
+        + b"\x08"  # precision
+        + struct.pack(">HH", height, width)
+        + bytes([channels])
+        + comps
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
 # --- WAV -------------------------------------------------------------------
@@ -319,11 +357,12 @@ def decode_avi_header(data: bytes) -> Dict[str, Any]:
 
     avih = None
     n_frame_chunks = 0
+    first_frame = None
     pos = 12
     end = min(len(data), 8 + int.from_bytes(data[4:8], "little"))
 
     def walk(lo: int, hi: int):
-        nonlocal avih, n_frame_chunks
+        nonlocal avih, n_frame_chunks, first_frame
         p = lo
         while p + 8 <= hi:
             cid = data[p : p + 4]
@@ -334,6 +373,8 @@ def decode_avi_header(data: bytes) -> Dict[str, Any]:
             elif cid == b"avih" and avih is None:
                 avih = data[body : body + min(size, 40)]
             elif cid[2:4] in (b"dc", b"db", b"wb") and cid[:2].isdigit():
+                if first_frame is None and cid[2:4] != b"wb":
+                    first_frame = data[body : body + size]
                 n_frame_chunks += 1
             p = body + size + (size & 1)  # chunks are word-aligned
 
@@ -344,6 +385,13 @@ def decode_avi_header(data: bytes) -> Dict[str, Any]:
     total_frames = int.from_bytes(avih[16:20], "little")
     width = int.from_bytes(avih[32:36], "little")
     height = int.from_bytes(avih[36:40], "little")
+    # MJPEG first-frame parse: when the first video chunk is a JPEG,
+    # its SOF header yields frame-level dimensions — checkable against
+    # the container's avih dims (full pixel decode still needs a DCT
+    # codec; unknown frame codecs leave these None)
+    frame_dims = (
+        _jpeg_sof_dims(first_frame) if first_frame is not None else None
+    )
     return {
         "format": "avi",
         "width": width,
@@ -352,7 +400,10 @@ def decode_avi_header(data: bytes) -> Dict[str, Any]:
         "n_frame_chunks": n_frame_chunks,
         "fps": (1e6 / usec_per_frame) if usec_per_frame else 0.0,
         "duration_ms": int(round(total_frames * usec_per_frame / 1000)),
-        "pixels": None,  # frame decode requires an external codec
+        "frame_width": frame_dims[0] if frame_dims else None,
+        "frame_height": frame_dims[1] if frame_dims else None,
+        "frame_channels": frame_dims[2] if frame_dims else None,
+        "pixels": None,  # frame pixel decode requires an external codec
     }
 
 

@@ -7,7 +7,8 @@ Training-data pipeline op (task brief): images/audio/video travel as
 Decode is REAL for PNG / BMP (stdlib+numpy pixel decode), JPEG
 (header dimensions; full pixels via the optional Pillow path), WAV
 (stdlib PCM decode), and AVI containers (RIFF avih header: dims,
-frame count, fps, duration — frame PIXELS still need an external
+frame count, fps, duration, PLUS the first MJPEG frame's SOF dims for
+the frame-vs-header consistency rule — frame PIXELS still need a DCT
 codec, so AVI rows report ``decode_status='header'``) — see
 ``datacheck_spark.codecs``. Only truly unknown containers fall back
 to the clearly-marked deterministic stub so the plumbing stays
@@ -80,6 +81,10 @@ FEATURE_SCHEMA = StructType(
         StructField("mean_value", DoubleType(), True),
         StructField("n_bytes", IntegerType(), True),
         StructField("decode_status", StringType(), True),
+        # video only: dims parsed from the first MJPEG frame's SOF
+        # header inside the container (None for other kinds / codecs)
+        StructField("frame_width", IntegerType(), True),
+        StructField("frame_height", IntegerType(), True),
     ]
 )
 
@@ -87,6 +92,8 @@ _EMPTY_FEATS = {
     "format": None,
     "decoded_width": None,
     "decoded_height": None,
+    "frame_width": None,
+    "frame_height": None,
     "n_channels": None,
     "sample_rate_hz": None,
     "duration_ms_decoded": None,
@@ -114,9 +121,12 @@ def _decode_one(payload: Optional[bytes]) -> dict:
                 format="avi",
                 decoded_width=v["width"],
                 decoded_height=v["height"],
+                frame_width=v.get("frame_width"),
+                frame_height=v.get("frame_height"),
+                n_channels=v.get("frame_channels"),
                 duration_ms_decoded=v["duration_ms"],
-                # container header parsed for real; frame pixels still
-                # need an external codec -> header, not ok
+                # container header + MJPEG first-frame SOF parsed for
+                # real; frame pixels still need a DCT codec -> header
                 decode_status="header",
             )
             return out
@@ -368,6 +378,22 @@ def metadata_consistency_rules(features: DataFrame):
             F.col("decode_status") != "error",
             F.col("format"),
         ),
+        # video: the first MJPEG frame's SOF dims must agree with the
+        # container's avih dims — a frame-level check the pure header
+        # parse could not make (verdict r3 item 8)
+        CompiledRule(
+            "frame_dims_match_header",
+            "first-frame dims match container header",
+            Severity.WARNING,
+            F.col("frame_width").isNull()
+            | (
+                (F.col("frame_width") == F.col("decoded_width"))
+                & (F.col("frame_height") == F.col("decoded_height"))
+            ),
+            F.concat_ws(
+                "x", F.col("frame_width"), F.col("frame_height")
+            ),
+        ),
     ]
 
 
@@ -436,9 +462,14 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                         w = 16 + int(rng.integers(0, 16)) * 2
                         h = 16 + int(rng.integers(0, 16)) * 2
                         n_frames = 25 + int(rng.integers(0, 250))
+                        # frames carry a structurally parseable MJPEG
+                        # header (SOI+SOF0 with the true dims) so the
+                        # first-frame consistency check has real input
                         payload = codecs.encode_avi(
                             w, h, n_frames, fps=fps,
-                            frame_payload=rng.bytes(32),
+                            frame_payload=codecs.encode_jpeg_header_stub(
+                                w, h
+                            ),
                         )
                         mime = "video/avi"
                         dur = int(round(n_frames * 1000 / fps))

@@ -198,3 +198,44 @@ def test_resize_images_real_pixels(spark):
         got = decode_png(bytes(r["payload"]))["pixels"]
         assert got.shape == (12, 16, 3)
         assert np.array_equal(got, _nn_resize(src, 16, 12))
+
+
+def test_avi_mjpeg_first_frame_dims():
+    """An AVI whose frames are MJPEG reports frame-level dims from the
+    first frame's SOF header; opaque frame payloads leave them None."""
+    from datacheck_spark.codecs import (
+        decode_avi_header,
+        encode_avi,
+        encode_jpeg_header_stub,
+    )
+
+    jf = encode_jpeg_header_stub(32, 24)
+    d = decode_avi_header(encode_avi(32, 24, n_frames=5, frame_payload=jf))
+    assert (d["frame_width"], d["frame_height"]) == (32, 24)
+    assert d["frame_channels"] == 3
+
+    # frame dims disagreeing with the container header are surfaced
+    bad = decode_avi_header(
+        encode_avi(64, 48, n_frames=5,
+                   frame_payload=encode_jpeg_header_stub(32, 24))
+    )
+    assert (bad["width"], bad["height"]) == (64, 48)
+    assert (bad["frame_width"], bad["frame_height"]) == (32, 24)
+
+    opaque = decode_avi_header(
+        encode_avi(32, 24, n_frames=5, frame_payload=b"\x00" * 32)
+    )
+    assert opaque["frame_width"] is None
+
+
+def test_jpeg_header_stub_parses_as_jpeg():
+    from datacheck_spark.codecs import (
+        decode_jpeg_header,
+        encode_jpeg_header_stub,
+        sniff_format,
+    )
+
+    data = encode_jpeg_header_stub(17, 9, channels=1)
+    assert sniff_format(data) == "jpeg"
+    d = decode_jpeg_header(data)
+    assert (d["width"], d["height"], d["channels"]) == (17, 9, 1)

@@ -219,3 +219,46 @@ class TestStreaming:
         assert set(["conv_id", "turn_idx", "rule_id", "batch_id"]).issubset(
             set(got.columns)
         )
+
+
+def test_frame_dims_consistency_rule(spark):
+    """The MJPEG first-frame dims check passes on the coherent fixtures
+    and flags a planted container whose frames disagree with avih."""
+    import pandas as pd
+    from datacheck_spark import codecs
+    from datacheck_spark import multimodal as MM
+    from datacheck_spark.engine import ValidationEngine
+
+    good = MM.synthetic_media(spark, n=30)
+    bad_payload = codecs.encode_avi(
+        64, 48, n_frames=10,
+        frame_payload=codecs.encode_jpeg_header_stub(32, 24),
+    )
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            [("m_bad", "video", "video/avi", bad_payload, 64, 48, 400)],
+            columns=[f.name for f in MM.MEDIA_SCHEMA.fields],
+        ),
+        schema=MM.MEDIA_SCHEMA,
+    )
+    df = good.unionByName(bad)
+    joined = df.join(MM.extract_media_features(df).drop("kind"), "media_id")
+    rules = MM.metadata_consistency_rules(joined)
+    engine = ValidationEngine()
+    annotated = engine.annotate(joined, rules=rules)
+    res = engine.summarize(annotated, rules, id_col="media_id")
+    # WARNING severity: flagged, not failed (error-row-rate gating)
+    assert res.warning_count == 1 and res.failed_samples == 0
+    v = engine.violations(joined, key_cols=["media_id"], rules=rules).collect()
+    assert {(r["media_id"], r["rule_id"]) for r in v} == {
+        ("m_bad", "frame_dims_match_header")
+    }
+    # fixture AVI rows now expose real frame dims equal to the header
+    feats = MM.extract_media_features(good).where(
+        "format = 'avi'"
+    ).collect()
+    assert feats and all(
+        r["frame_width"] == r["decoded_width"]
+        and r["frame_height"] == r["decoded_height"]
+        for r in feats
+    )
