@@ -82,43 +82,78 @@ def profile_columns(
     numeric (non-boolean) columns carry ``non_null, min, max,
     distinct``; every other type carries ``non_null`` only.
 
-    Job count: one full-scan aggregation when ``approx_distinct`` is
-    given (the row total rides the agg as ``__total``); the size-aware
-    default needs the row count BEFORE choosing exact vs sketch, so it
-    adds a ``df.count()`` first — metadata-only on parquet sources.
+    Job count (mirrors ``stats.infer_schema``): the sketch-mode
+    full-scan aggregation ALWAYS runs first (HLL distinct — bounded at
+    any scale) with the row total riding along as ``__total``, so the
+    size-aware switch needs no separate ``df.count()`` job. At or below
+    the exact-rows cap a second pass fuses exact ``countDistinct`` with
+    slice-bounded enum ``collect_set``s (oracle/test parity); above it,
+    only HLL-qualified enum candidates (bounded sets) are collected —
+    and that job is skipped when there are none.
     """
-    if approx_distinct is None:
-        from datacheck_spark.anomaly import AUTO_EXACT_ROWS
+    from datacheck_spark.anomaly import AUTO_EXACT_ROWS
 
-        total = df.count()
-        if total == 0:
-            return {"total": 0, "columns": {}}
-        approx_distinct = total > AUTO_EXACT_ROWS
-
+    auto = approx_distinct is None
     dtypes = {f.name: f.dataType for f in df.schema.fields}
-    row = profile_agg_frame(df, approx_distinct=approx_distinct).collect()[0]
+    row = profile_agg_frame(
+        df, approx_distinct=True if auto else approx_distinct
+    ).collect()[0]
     total = row["__total"]
     out: Dict[str, Any] = {"total": total, "columns": {}}
     if total == 0:
         return out
 
-    # enum candidates: low-cardinality strings; confirmed exactly below
-    candidates = [
+    uniq_cols = [
         c
         for c in df.columns
         if isinstance(dtypes[c], StringType)
-        and 0 < (row[f"uniq__{c}"] or 0) <= enum_max_uniques
+        or (
+            isinstance(dtypes[c], NumericType)
+            and not isinstance(dtypes[c], BooleanType)
+        )
     ]
+    uniq: Dict[str, int] = {c: row[f"uniq__{c}"] for c in uniq_cols}
     enums: Dict[str, List[str]] = {}
-    if candidates:
-        erow = df.agg(
-            *[F.sort_array(F.collect_set(c)).alias(c) for c in candidates]
-        ).collect()[0]
+    if auto and total <= AUTO_EXACT_ROWS and uniq_cols:
+        # small data: exact distinct counts + enum value sets in ONE
+        # fused follow-up (collect_set state bounded by the row cap)
+        aggs2 = [F.countDistinct(c).alias(f"uniq__{c}") for c in uniq_cols]
+        aggs2 += [
+            F.slice(
+                F.sort_array(F.collect_set(c)), 1, enum_max_uniques + 1
+            ).alias(f"set__{c}")
+            for c in uniq_cols
+            if isinstance(dtypes[c], StringType)
+        ]
+        row2 = df.agg(*aggs2).collect()[0]
+        uniq = {c: row2[f"uniq__{c}"] for c in uniq_cols}
         enums = {
-            c: list(erow[c])
-            for c in candidates
-            if len(erow[c]) <= enum_max_uniques  # exact confirmation
+            c: list(row2[f"set__{c}"])
+            for c in uniq_cols
+            if isinstance(dtypes[c], StringType)
+            and 0 < uniq[c] <= enum_max_uniques
         }
+    else:
+        # enum candidates from the (possibly sketched) counts,
+        # confirmed exactly below — HLL error can't over-widen an enum
+        candidates = [
+            c
+            for c in df.columns
+            if isinstance(dtypes[c], StringType)
+            and 0 < (uniq[c] or 0) <= enum_max_uniques
+        ]
+        if candidates:
+            erow = df.agg(
+                *[
+                    F.sort_array(F.collect_set(c)).alias(c)
+                    for c in candidates
+                ]
+            ).collect()[0]
+            enums = {
+                c: list(erow[c])
+                for c in candidates
+                if len(erow[c]) <= enum_max_uniques  # exact confirmation
+            }
 
     for c in df.columns:
         dt = dtypes[c]
@@ -128,13 +163,13 @@ def profile_columns(
             st["non_json"] = row[f"nonjson__{c}"] or 0
             st["len_min"] = row[f"lmin__{c}"]
             st["len_max"] = row[f"lmax__{c}"]
-            st["distinct"] = row[f"uniq__{c}"]
+            st["distinct"] = uniq[c]
             if c in enums:
                 st["enum_values"] = enums[c]
         elif isinstance(dt, NumericType) and not isinstance(dt, BooleanType):
             st["min"] = row[f"vmin__{c}"]
             st["max"] = row[f"vmax__{c}"]
-            st["distinct"] = row[f"uniq__{c}"]
+            st["distinct"] = uniq[c]
         out["columns"][c] = st
     return out
 
