@@ -39,6 +39,27 @@ def stream_validate(
     return engine.annotate(stream)
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the streaming
+    analogue of the batch exact dedup (op 25) for at-least-once sources
+    (Kafka replays, file re-lists). ``dropDuplicatesWithinWatermark``
+    retains a key's dedup state only until the watermark passes its
+    event time, so state is proportional to the watermark window, not
+    the stream's history; a plain ``dropDuplicates`` on a stream keys
+    an ever-growing state store and cannot survive a 10^12-row topic.
+    Duplicates arriving later than the watermark delay are treated as
+    new rows — the documented at-least-once trade-off."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
 def windowed_pass_rates(
     annotated: DataFrame,
     ts_col: str = "ts",

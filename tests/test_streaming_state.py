@@ -224,3 +224,58 @@ def test_streaming_drift_monitor(spark, tmp_path):
     assert same["ks"] < 0.05 and not same["drifted"]
     assert shifted["ks"] > 0.9 and shifted["drifted"]
     assert shifted["psi"] > 1.0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """A re-delivered (conv_id, turn_idx) within the watermark is
+    dropped; state is watermark-bounded (op 25's streaming analogue)."""
+    from datacheck_spark.streaming import streaming_dedup
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    schema = "conv_id string, turn_idx int, ts string"
+    spark.createDataFrame(
+        [("A", 1, "2026-01-01 00:00:00"),
+         ("A", 1, "2026-01-01 00:00:00"),   # in-batch duplicate
+         ("B", 1, "2026-01-01 00:00:05")],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(src / "batch1")
+    )
+    # batch 2: at-least-once re-delivery of (A,1) + a genuinely new row
+    spark.createDataFrame(
+        [("A", 1, "2026-01-01 00:00:00"),
+         ("C", 1, "2026-01-01 00:00:10")],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(src / "batch2")
+    )
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = streaming_dedup(stream, ["conv_id", "turn_idx"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT conv_id, turn_idx FROM dedup_out"
+            ).collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
+    assert got == [("A", 1), ("B", 1), ("C", 1)]
