@@ -50,6 +50,12 @@ CACHE_DIR = ROOT / ".bench_cache"
 OTHER_CPU_FRAC = float(os.environ.get("BENCH_OTHER_CPU_FRAC", "0.10"))
 # Total extra headline runs allowed when discarding contaminated ones.
 MAX_EXTRA_RUNS = int(os.environ.get("BENCH_MAX_EXTRA", "10"))
+# Soft wall-clock budgets so retries can never run the bench into an
+# outer (driver-side) timeout: the suite phase stops adding windows
+# past SUITE_TIME_BUDGET seconds, and secondary-query retries stop
+# once TOTAL_TIME_BUDGET is spent. Labels stay correct either way.
+SUITE_TIME_BUDGET = float(os.environ.get("BENCH_SUITE_BUDGET_SEC", "240"))
+TOTAL_TIME_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "480"))
 
 _HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 _NCPU = os.cpu_count() or int(CPUS)
@@ -243,12 +249,20 @@ def main():
     run_transcript_suite(spark, tpath)
     n_runs = int(os.environ.get("BENCH_RUNS", "5"))
 
+    t_start = time.time()
     clean_runs: list[dict] = []
     dirty_runs: list[dict] = []
     probes: list[dict] = []
     extra_used = 0
     attempts = 0
-    while len(clean_runs) < n_runs and attempts < n_runs + MAX_EXTRA_RUNS:
+    while (
+        len(clean_runs) < n_runs
+        and attempts < n_runs + MAX_EXTRA_RUNS
+        and (
+            time.time() - t_start < SUITE_TIME_BUDGET
+            or not (clean_runs or dirty_runs)  # need at least one run
+        )
+    ):
         attempts += 1
         run, meta = _timed(run_transcript_suite, spark, tpath)
         probes.append(
@@ -271,6 +285,7 @@ def main():
             (max(walls) - min(walls)) / max(min(walls), 1e-9) > 0.25
             and extra_used < MAX_EXTRA_RUNS
             and len(clean_runs) < 2 * n_runs
+            and time.time() - t_start < SUITE_TIME_BUDGET
         ):
             run, meta = _timed(run_transcript_suite, spark, tpath)
             probes.append(
@@ -318,6 +333,8 @@ def main():
             if not _contaminated(meta):
                 break
             query_probes.setdefault(name, []).append(meta["other_cpu_frac"])
+            if time.time() - t_start > TOTAL_TIME_BUDGET:
+                break  # never run the whole bench into an outer timeout
         per_query[name] = round(best_wall, 3)
     per_query["transcript_suite"] = round(suite["wall_sec"], 3)
 
