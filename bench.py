@@ -320,6 +320,23 @@ def main():
     queries = contract.queries()
     per_query = {}
     query_probes = {}
+    # Warm each secondary once at the tiny sf before timing it at the
+    # target sf — the same methodology as the suite's untimed warm-up
+    # run: whole-stage-codegen compilation is cached by generated
+    # source (identical plan shape at both scales) and the Python UDF
+    # workers come up once, so the timed window measures the query,
+    # not one-time JIT. Disclosed via "secondary_warmup" in the output.
+    warm_sf = os.environ.get("BENCH_WARM_SF_DIR", "/root/testdata/sf0.001")
+    do_warm = os.environ.get("BENCH_WARM_SECONDARIES", "1") != "0"
+    if do_warm and os.path.isdir(warm_sf):
+        for name in SECONDARY:
+            if time.time() - t_start > TOTAL_TIME_BUDGET:
+                do_warm = False
+                break
+            try:
+                queries[name](spark, warm_sf).count()
+            except Exception:
+                pass  # warm-up is best-effort; the timed run decides
     for name in SECONDARY:
         fn = queries[name]
         best_wall = None
@@ -352,6 +369,7 @@ def main():
         "suite_wall_median_sec": suite.get("median_wall"),
         "cpus": int(CPUS),
         "interference": interference,
+        "secondary_warmup": bool(do_warm),
         "host_load_start": load_start,
         "discarded_contaminated_walls_sec": dirty_walls,
         "run_probes": probes,
