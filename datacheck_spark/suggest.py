@@ -17,10 +17,10 @@ statistic (map-side partial aggregation, no shuffle beyond the final
 single-row agg), plus one tiny follow-up job that ``collect_set``s ONLY
 the columns whose distinct count already qualified them as enum
 candidates — its state is bounded by ``enum_max_uniques`` actual
-values per column. Distinct counts are exact below
-``anomaly.AUTO_EXACT_ROWS`` (oracle/test parity) and HyperLogLog
-sketches above it; enum candidacy is then confirmed exactly by the
-follow-up's set size, so HLL error can never produce an over-wide enum.
+values per column. Distinct counts come from HyperLogLog sketches at
+every scale; enum candidacy is confirmed EXACTLY by the follow-up's
+true set size behind a generous (2×) sketch prefilter, so sketch error
+can never change which enums are emitted.
 """
 
 from __future__ import annotations
@@ -82,17 +82,18 @@ def profile_columns(
     numeric (non-boolean) columns carry ``non_null, min, max,
     distinct``; every other type carries ``non_null`` only.
 
-    Job count (mirrors ``stats.infer_schema``): the sketch-mode
-    full-scan aggregation ALWAYS runs first (HLL distinct — bounded at
-    any scale) with the row total riding along as ``__total``, so the
-    size-aware switch needs no separate ``df.count()`` job. At or below
-    the exact-rows cap a second pass fuses exact ``countDistinct`` with
-    slice-bounded enum ``collect_set``s (oracle/test parity); above it,
-    only HLL-qualified enum candidates (bounded sets) are collected —
-    and that job is skipped when there are none.
+    Job count: the sketch-mode full-scan aggregation ALWAYS runs first
+    (HLL distinct — bounded state at any scale) with the row total
+    riding along as ``__total``, so no separate ``df.count()`` job;
+    then ONE tiny follow-up collects slice-bounded value sets for the
+    HLL-prefiltered enum candidates (skipped when there are none).
+    ``distinct`` in the returned stats is the HLL estimate except for
+    confirmed enum columns, where it is the exact set size — enum
+    candidacy itself is EXACT because the prefilter is generous (2×
+    margin) and the true set size makes the decision.
+    ``approx_distinct=False`` forces exact ``countDistinct`` in the
+    first agg (caller accepts the Expand cost).
     """
-    from datacheck_spark.anomaly import AUTO_EXACT_ROWS
-
     auto = approx_distinct is None
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     row = profile_agg_frame(
@@ -114,46 +115,35 @@ def profile_columns(
     ]
     uniq: Dict[str, int] = {c: row[f"uniq__{c}"] for c in uniq_cols}
     enums: Dict[str, List[str]] = {}
-    if auto and total <= AUTO_EXACT_ROWS and uniq_cols:
-        # small data: exact distinct counts + enum value sets in ONE
-        # fused follow-up (collect_set state bounded by the row cap)
-        aggs2 = [F.countDistinct(c).alias(f"uniq__{c}") for c in uniq_cols]
-        aggs2 += [
-            F.slice(
-                F.sort_array(F.collect_set(c)), 1, enum_max_uniques + 1
-            ).alias(f"set__{c}")
-            for c in uniq_cols
-            if isinstance(dtypes[c], StringType)
-        ]
-        row2 = df.agg(*aggs2).collect()[0]
-        uniq = {c: row2[f"uniq__{c}"] for c in uniq_cols}
-        enums = {
-            c: list(row2[f"set__{c}"])
-            for c in uniq_cols
-            if isinstance(dtypes[c], StringType)
-            and 0 < uniq[c] <= enum_max_uniques
-        }
-    else:
-        # enum candidates from the (possibly sketched) counts,
-        # confirmed exactly below — HLL error can't over-widen an enum
-        candidates = [
-            c
-            for c in df.columns
-            if isinstance(dtypes[c], StringType)
-            and 0 < (uniq[c] or 0) <= enum_max_uniques
-        ]
-        if candidates:
-            erow = df.agg(
-                *[
-                    F.sort_array(F.collect_set(c)).alias(c)
-                    for c in candidates
-                ]
-            ).collect()[0]
-            enums = {
-                c: list(erow[c])
+    # Enum candidacy is the ONLY consumer that needs exactness, and it
+    # is made exact by CONFIRMATION, not by exact counting: a generous
+    # HLL prefilter (2× margin — sketch error is a few %, never 2×)
+    # picks candidate strings, one tiny agg collects their
+    # slice-bounded value sets, and the true set size decides. This
+    # skips countDistinct/collect_set over high-cardinality payload
+    # columns entirely (an Expand + a 100k-string agg buffer measured
+    # as the whole pipeline's hot spot); profile `distinct` for
+    # non-candidates is the HLL estimate (documented).
+    candidates = [
+        c
+        for c in uniq_cols
+        if isinstance(dtypes[c], StringType)
+        and 0 < (uniq[c] or 0) <= 2 * enum_max_uniques
+    ]
+    if candidates:
+        row2 = df.agg(
+            *[
+                F.slice(
+                    F.sort_array(F.collect_set(c)), 1, enum_max_uniques + 1
+                ).alias(f"set__{c}")
                 for c in candidates
-                if len(erow[c]) <= enum_max_uniques  # exact confirmation
-            }
+            ]
+        ).collect()[0]
+        for c in candidates:
+            vals = list(row2[f"set__{c}"])
+            if 0 < len(vals) <= enum_max_uniques:
+                enums[c] = vals
+                uniq[c] = len(vals)  # exact for confirmed enums
 
     for c in df.columns:
         dt = dtypes[c]
