@@ -455,27 +455,38 @@ def near_duplicate_pairs_lsh(
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
+    # Grams are hashed to int64 ONCE (the same xxhash64 walk the
+    # signature needs) and the string grams are dropped immediately:
+    # the persisted frame, the verify join's payload and the exact
+    # Jaccard all work on long arrays — set identity is preserved
+    # (distinct grams → distinct hashes; a 64-bit collision inside a
+    # few-hundred-gram set is ~1e-15) while array_intersect skips
+    # per-element string hashing and the cached rows shrink ~3×.
     base = (
         df.select(
             F.col(id_col).cast("string").alias("__id"),
             char_ngrams(text, ngram_n).alias("__g"),
         )
         .where(F.size("__g") > 0)
-        .withColumn("__sig", minhash_signature(F.col("__g"), num_hashes))
+        .select(
+            "__id",
+            F.transform("__g", lambda g: F.xxhash64(g)).alias("__gh"),
+        )
+        .withColumn(
+            "__sig", _minhash_from_hashes(F.col("__gh"), num_hashes)
+        )
     )
     # gram extraction is the pipeline's CPU hot spot and base feeds
     # THREE consumers (band entries + both verify-join gram sides);
-    # without persistence each consumer re-runs the interpreted n-gram
-    # walk over the full corpus. MEMORY_AND_DISK spills rather than
-    # OOMs at scale; the ContextCleaner unpersists once the frame is
-    # GC'd.
+    # without persistence each consumer re-runs the n-gram walk over
+    # the full corpus. MEMORY_AND_DISK spills rather than OOMs at
+    # scale; the ContextCleaner unpersists once the frame is GC'd.
     if persist_base:
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     band_entries = base.select(
         "__id",
-        "__g",
         F.explode(
             F.array(
                 *[
@@ -521,17 +532,17 @@ def near_duplicate_pairs_lsh(
             df.sparkSession.sparkContext.defaultParallelism, "id_a"
         )
     )
-    grams = base.select("__id", "__g")
+    grams = base.select("__id", "__gh")
     verified = (
         candidates.join(
             grams.select(
-                F.col("__id").alias("id_a"), F.col("__g").alias("ga")
+                F.col("__id").alias("id_a"), F.col("__gh").alias("ga")
             ),
             "id_a",
         )
         .join(
             grams.select(
-                F.col("__id").alias("id_b"), F.col("__g").alias("gb")
+                F.col("__id").alias("id_b"), F.col("__gh").alias("gb")
             ),
             "id_b",
         )
