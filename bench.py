@@ -22,6 +22,16 @@ capacity) are discarded and re-run (bounded retries); every run's
 other-CPU fraction and loadavg sample is recorded in the output JSON so
 a contaminated capture is self-labeling even when retries run out.
 
+Calibration probe (second detector): hypervisor-level contention on a
+microVM host — another guest saturating the shared memory bus or
+stealing cycles — is INVISIBLE to /proc inside this guest (observed: a
+24.5s suite window with a clean /proc probe re-measured at 16.3s).
+Fixed-work micro-kernels (sha256 over a constant buffer = CPU speed;
+a >LLC numpy stream-sum = DRAM bandwidth) are timed around every
+window; a window whose adjacent calibration runs slower than
+BENCH_CAL_INFLATION x the session-best sample is discarded like a
+/proc-contaminated one. All samples are recorded in the output.
+
 Scaling evidence (local[8] vs local[32]) lives in bench_scaling.py.
 """
 
@@ -59,6 +69,74 @@ TOTAL_TIME_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "480"))
 
 _HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 _NCPU = os.cpu_count() or int(CPUS)
+
+# A window is also discarded when the fixed-work calibration kernels
+# run this much slower than the session-best sample (cross-VM
+# contention detector; /proc cannot see other guests). 1.35 sits above
+# measured same-host sample jitter (<1.15 min-of-2) and below the
+# ~1.5x+ inflation real contention events show.
+CAL_INFLATION = float(os.environ.get("BENCH_CAL_INFLATION", "1.35"))
+
+_CAL = {"arr": None, "buf": None, "min_cpu": None, "min_mem": None}
+
+
+def calibration_sample() -> dict | None:
+    """Time two fixed-work kernels; detects host slowdown /proc misses.
+
+    - cpu_ms: sha256 over a constant 32 MiB buffer (per-core compute)
+    - mem_ms: stream-sum of a 256 MiB float64 array (DRAM bandwidth,
+      well past LLC) — cross-VM bus contention shows up here first.
+    Min-of-2 reps damps our own residual noise (JVM GC between jobs).
+    """
+    try:
+        import hashlib
+
+        import numpy as np
+
+        if _CAL["arr"] is None:
+            _CAL["arr"] = np.ones(32 * 1024 * 1024, dtype=np.float64)
+            _CAL["buf"] = b"\xa5" * (32 * 1024 * 1024)
+        def _rep() -> tuple[float, float]:
+            t0 = time.perf_counter()
+            float(_CAL["arr"].sum())
+            m = (time.perf_counter() - t0) * 1000
+            t0 = time.perf_counter()
+            hashlib.sha256(_CAL["buf"]).digest()
+            c = (time.perf_counter() - t0) * 1000
+            return c, m
+
+        def _is_slow(c: float, m: float) -> bool:
+            return (
+                _CAL["min_cpu"] is not None
+                and (
+                    c > CAL_INFLATION * _CAL["min_cpu"]
+                    or m > CAL_INFLATION * _CAL["min_mem"]
+                )
+            )
+
+        reps = [_rep(), _rep()]
+        cpu_ms = min(c for c, _ in reps)
+        mem_ms = min(m for _, m in reps)
+        if _is_slow(cpu_ms, mem_ms):
+            # confirm before flagging: transient teardown noise (our own
+            # JVM GC / worker exit right after a window) clears within a
+            # beat; sustained cross-VM contention does not
+            time.sleep(0.3)
+            reps += [_rep(), _rep()]
+            cpu_ms = min(c for c, _ in reps)
+            mem_ms = min(m for _, m in reps)
+        if _CAL["min_cpu"] is None or cpu_ms < _CAL["min_cpu"]:
+            _CAL["min_cpu"] = cpu_ms
+        if _CAL["min_mem"] is None or mem_ms < _CAL["min_mem"]:
+            _CAL["min_mem"] = mem_ms
+        slow = _is_slow(cpu_ms, mem_ms)
+        return {
+            "cpu_ms": round(cpu_ms, 1),
+            "mem_ms": round(mem_ms, 1),
+            "slow": slow,
+        }
+    except Exception:
+        return None
 
 
 def _host_busy_jiffies() -> int | None:
@@ -143,12 +221,16 @@ def _timed(fn, *args) -> tuple[object, dict]:
     probe.start()
     result = fn(*args)
     meta = probe.stop()
+    meta["cal"] = calibration_sample()
     return result, meta
 
 
 def _contaminated(meta: dict) -> bool:
     frac = meta.get("other_cpu_frac")
-    return frac is not None and frac > OTHER_CPU_FRAC
+    if frac is not None and frac > OTHER_CPU_FRAC:
+        return True
+    cal = meta.get("cal")
+    return bool(cal and cal.get("slow"))
 
 
 def get_spark(cpus: str):
@@ -240,6 +322,7 @@ def main():
     except OSError:
         load_start = None
 
+    calibration_sample()  # seed the fixed-work baseline before warm-up
     tpath = ensure_transcripts(spark, BENCH_CONVS)
     # Warm the JVM / code cache / page cache once (untimed), then take
     # the best of N *clean* measured runs. A run is discarded and
@@ -270,6 +353,7 @@ def main():
                 "wall": round(meta["wall"], 2),
                 "other_cpu_frac": meta["other_cpu_frac"],
                 "load1": meta["load1"],
+                "cal": meta["cal"],
             }
         )
         if _contaminated(meta):
@@ -293,6 +377,7 @@ def main():
                     "wall": round(meta["wall"], 2),
                     "other_cpu_frac": meta["other_cpu_frac"],
                     "load1": meta["load1"],
+                    "cal": meta["cal"],
                 }
             )
             extra_used += 1
@@ -374,6 +459,11 @@ def main():
         "discarded_contaminated_walls_sec": dirty_walls,
         "run_probes": probes,
         "other_cpu_frac_threshold": OTHER_CPU_FRAC,
+        "calibration": {
+            "cpu_ms_min": round(_CAL["min_cpu"], 1) if _CAL["min_cpu"] else None,
+            "mem_ms_min": round(_CAL["min_mem"], 1) if _CAL["min_mem"] else None,
+            "inflation_threshold": CAL_INFLATION,
+        },
     }
     if query_probes:
         out["secondary_contaminated"] = query_probes

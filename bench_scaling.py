@@ -23,9 +23,10 @@ import json, sys, time
 sys.path.insert(0, {root!r})
 from pyspark.sql import SparkSession
 from datacheck_spark.transcripts import TranscriptChecker
-from bench import InterferenceProbe, OTHER_CPU_FRAC
+from bench import InterferenceProbe, OTHER_CPU_FRAC, calibration_sample
 
 cpus = int(sys.argv[1]); path = sys.argv[2]; runs = int(sys.argv[3])
+calibration_sample()  # seed the fixed-work baseline (see bench.py)
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .appName(f"scaling-{{cpus}}")
          .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
@@ -48,11 +49,14 @@ while len(walls) < runs and extra <= 2 * runs:
     probe = InterferenceProbe(); probe.start()
     checker.run(df)
     m = probe.stop()
+    cal = calibration_sample()
     probes.append({{"wall": round(m["wall"], 2),
                     "other_cpu_frac": m["other_cpu_frac"],
-                    "load1": m["load1"]}})
+                    "load1": m["load1"], "cal": cal}})
     frac = m["other_cpu_frac"]
-    if frac is not None and frac > OTHER_CPU_FRAC and extra < 2 * runs:
+    dirty = (frac is not None and frac > OTHER_CPU_FRAC) or (
+        cal is not None and cal["slow"])
+    if dirty and extra < 2 * runs:
         extra += 1
         continue
     walls.append(m["wall"])
