@@ -422,10 +422,15 @@ def main():
                 queries[name](spark, warm_sf).count()
             except Exception:
                 pass  # warm-up is best-effort; the timed run decides
+    # best of QUERY_RUNS clean measurements per query (same min-of-clean
+    # methodology as the suite): the first execution at the target sf
+    # pays one-time page-cache/plan costs the steady state doesn't.
+    query_runs = int(os.environ.get("BENCH_QUERY_RUNS", "2"))
     for name in SECONDARY:
         fn = queries[name]
         best_wall = None
-        for attempt in range(3):  # original + up to 2 interference retries
+        clean_seen = 0
+        for attempt in range(query_runs + 2):  # + interference retries
             _, meta = _timed(lambda: fn(spark, SF_DIR).count())
             # a contaminated wall is still an upper bound; keep the min
             best_wall = (
@@ -433,8 +438,13 @@ def main():
                 else min(best_wall, meta["wall"])
             )
             if not _contaminated(meta):
+                clean_seen += 1
+            else:
+                query_probes.setdefault(name, []).append(
+                    meta["other_cpu_frac"]
+                )
+            if clean_seen >= query_runs:
                 break
-            query_probes.setdefault(name, []).append(meta["other_cpu_frac"])
             if time.time() - t_start > TOTAL_TIME_BUDGET:
                 break  # never run the whole bench into an outer timeout
         per_query[name] = round(best_wall, 3)
