@@ -287,7 +287,17 @@ def repetitive_clean(col: Column, native: bool = False) -> Column:
     parity-fuzzed against the UDF and the reference)."""
     if native:
         return ~repetitive_flag_native(col)
-    return ~F.coalesce(repetitive_flag(col), F.lit(False))
+    # JVM-side mask before the Arrow boundary: rows that cannot fire the
+    # predicate (len < 50, or no sentence separators and len <= 100 —
+    # the same necessary condition the UDF's internal gate re-checks)
+    # are sent as NULL, so Arrow ships no string bytes for them (~99 %
+    # of the bench corpus; the text payload, not the Python compute, is
+    # the transfer cost at scale). NULL ⇒ fillna("") ⇒ len 0 ⇒ False in
+    # the UDF — identical semantics, parity-fuzzed.
+    ln = F.length(col)
+    sep_count = ln - F.length(F.translate(col, "。！？\n.!?", ""))
+    gate = (ln >= 50) & ((sep_count >= 2) | (ln > 100))
+    return ~F.coalesce(repetitive_flag(F.when(gate, col)), F.lit(False))
 
 
 # --- Language detection (text_rules.py:32-94) ----------------------------
