@@ -2126,6 +2126,59 @@ def bucket_verdicts_transcripts(spark, sf_dir):
 
 
 @_q(
+    "conv_structure_transcripts",
+    f"""
+    WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_GLOB}')),
+    o AS (
+      SELECT conv_id, turn_idx, role, ts,
+             lag(turn_idx) OVER w AS prev_idx,
+             lag(role) OVER w AS prev_role,
+             lag(ts) OVER w AS prev_ts
+      FROM t
+      WINDOW w AS (
+        PARTITION BY conv_id
+        ORDER BY turn_idx ASC NULLS FIRST, role ASC NULLS FIRST,
+                 text ASC NULLS FIRST
+      )
+    ),
+    f AS (
+      SELECT conv_id, turn_idx,
+             (prev_idx IS NOT NULL AND turn_idx = prev_idx)::INT AS dup_turn,
+             (prev_idx IS NOT NULL AND turn_idx > prev_idx + 1)::INT AS gap_turn,
+             (prev_role IS NOT NULL AND role = prev_role)::INT AS role_repeat,
+             (prev_ts IS NOT NULL AND ts < prev_ts)::INT AS ts_regress
+      FROM o
+    ),
+    a AS (
+      SELECT conv_id,
+             count(*)::BIGINT AS n_turns,
+             (min(turn_idx) = 0) AS starts,
+             (COALESCE(sum(dup_turn), 0) = 0) AS nodup,
+             (COALESCE(sum(gap_turn), 0) = 0) AS nogap,
+             (COALESCE(sum(role_repeat), 0) = 0) AS roles_alternate,
+             (COALESCE(sum(ts_regress), 0) = 0) AS ts_monotonic
+      FROM f GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns,
+           (starts AND nodup AND nogap) AS contiguous,
+           roles_alternate, ts_monotonic,
+           (starts AND nodup AND nogap AND roles_alternate
+            AND ts_monotonic) AS conv_pass
+    FROM a ORDER BY conv_id
+    """,
+)
+def conv_structure_transcripts(spark, sf_dir):
+    """Cross-turn conversation-structure verdicts (contiguous turn_idx,
+    role alternation, ts monotonicity) — batch rules a per-row pass
+    cannot express; oracle re-derives every flag with DuckDB window
+    functions under the same stable turn ordering."""
+    from datacheck_spark.transcripts import conversation_structure
+
+    df = transcripts_table(spark)
+    return conversation_structure(df).orderBy("conv_id")
+
+
+@_q(
     "key_skew_events",
     """
     WITH counts AS (

@@ -28,6 +28,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datacheck_spark.schema import Severity, TRANSCRIPT_ROLES, ValidationSchema
 from datacheck_spark.engine import ValidationEngine, HAS_ERROR, RULE_PREFIX
@@ -224,6 +225,74 @@ def per_bucket_verdicts(
                 >= threshold
             ).alias("passed"),
         )
+    )
+
+
+def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-conversation structural verdicts over multi-turn transcripts
+    (cross-turn rules the per-row fused pass cannot express):
+
+    - ``contiguous``: turn_idx runs 0..n-1 with no gaps or duplicates
+    - ``roles_alternate``: no two consecutive turns share a role
+    - ``ts_monotonic``: timestamps never regress along the turn order
+    - ``conv_pass``: all of the above
+
+    Turn order is made stable with (turn_idx, role, text) — the north
+    rule's "stable turn ordering" — so verdicts are deterministic even
+    when keys collide (exact duplicate rows compare equal under any
+    tie order; differing collisions get a total order).
+
+    Scale: ONE shuffle — the lag window partitions by conv_id and the
+    per-conversation aggregation reuses that hash partitioning (no
+    second exchange; asserted in PLANS.md). Per-group window state is
+    a single previous row, not a buffered conversation, so hot
+    conversations (10^5 turns) stream through. At 10^12 turns this
+    runs per conv_bucket partition exactly like the fused rule pass.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").asc(), F.col("role").asc(),
+                 F.col("text").asc())
+    )
+    prev_idx = F.lag("turn_idx").over(w)
+    prev_role = F.lag("role").over(w)
+    prev_ts = F.lag(ts_col).over(w)
+    cur_idx, cur_role, cur_ts = (
+        F.col("turn_idx"), F.col("role"), F.col(ts_col)
+    )
+    flags = df.select(
+        "conv_id",
+        "turn_idx",
+        (prev_idx.isNotNull() & (cur_idx == prev_idx))
+        .cast("int").alias("__dup_turn"),
+        (prev_idx.isNotNull() & (cur_idx > prev_idx + 1))
+        .cast("int").alias("__gap_turn"),
+        (prev_role.isNotNull() & (cur_role == prev_role))
+        .cast("int").alias("__role_repeat"),
+        (prev_ts.isNotNull() & (cur_ts < prev_ts))
+        .cast("int").alias("__ts_regress"),
+    )
+    agg = flags.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.min("turn_idx") == 0).alias("__starts"),
+        (F.coalesce(F.sum("__dup_turn"), F.lit(0)) == 0).alias("__nodup"),
+        (F.coalesce(F.sum("__gap_turn"), F.lit(0)) == 0).alias("__nogap"),
+        (F.coalesce(F.sum("__role_repeat"), F.lit(0)) == 0).alias(
+            "roles_alternate"
+        ),
+        (F.coalesce(F.sum("__ts_regress"), F.lit(0)) == 0).alias(
+            "ts_monotonic"
+        ),
+    )
+    contiguous = F.col("__starts") & F.col("__nodup") & F.col("__nogap")
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        contiguous.alias("contiguous"),
+        "roles_alternate",
+        "ts_monotonic",
+        (contiguous & F.col("roles_alternate") & F.col("ts_monotonic"))
+        .alias("conv_pass"),
     )
 
 

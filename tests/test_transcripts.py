@@ -211,3 +211,59 @@ def test_checkpoint_resume_orc_source(spark, transcripts, tmp_path):
         orc_df, checker, base, rule_version="v1", n_buckets=8, group_size=3,
     )
     assert state2.completed == state.completed
+
+
+def test_conversation_structure_planted(spark):
+    """Each structural flag trips on its planted conversation and only
+    there; a clean conversation passes everything."""
+    import datetime as dt
+
+    from datacheck_spark.transcripts import conversation_structure
+
+    t0 = dt.datetime(2026, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = []
+    # clean: 0..3, alternating roles, monotone ts
+    for i, r in enumerate(["user", "assistant", "user", "assistant"]):
+        rows.append(("ok", i, r, f"t{i}", None, t0 + i * sec))
+    # gap: 0,1,3
+    for i, r in zip([0, 1, 3], ["user", "assistant", "user"]):
+        rows.append(("gap", i, r, f"t{i}", None, t0 + i * sec))
+    # duplicate turn_idx
+    for i, r in zip([0, 1, 1, 2], ["user", "assistant", "assistant", "user"]):
+        rows.append(("dup", i, r, f"t{i}", None, t0 + i * sec))
+    # starts at 1
+    for i, r in zip([1, 2], ["user", "assistant"]):
+        rows.append(("late", i, r, f"t{i}", None, t0 + i * sec))
+    # role repeat (contiguous turns)
+    for i, r in enumerate(["user", "user", "assistant"]):
+        rows.append(("rep", i, r, f"t{i}", None, t0 + i * sec))
+    # ts regression
+    for i, ts in enumerate([t0, t0 + 5 * sec, t0 + 2 * sec]):
+        rows.append(("reg", i, ["user", "assistant", "user"][i], f"t{i}", None, ts))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r.asDict() for r in conversation_structure(df).collect()}
+    assert out["ok"] == {
+        "conv_id": "ok", "n_turns": 4, "contiguous": True,
+        "roles_alternate": True, "ts_monotonic": True, "conv_pass": True,
+    }
+    assert not out["gap"]["contiguous"] and out["gap"]["roles_alternate"]
+    assert not out["dup"]["contiguous"] and not out["dup"]["roles_alternate"]
+    assert not out["late"]["contiguous"] and out["late"]["ts_monotonic"]
+    assert not out["rep"]["roles_alternate"] and out["rep"]["contiguous"]
+    assert not out["reg"]["ts_monotonic"] and out["reg"]["contiguous"]
+    for bad in ["gap", "dup", "late", "rep", "reg"]:
+        assert not out[bad]["conv_pass"], bad
+
+
+def test_conversation_structure_single_shuffle(spark, transcripts):
+    """The lag window and the per-conversation agg must share ONE
+    exchange on conv_id (the agg reuses the window's partitioning)."""
+    from datacheck_spark.transcripts import conversation_structure
+
+    plan = conversation_structure(transcripts)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1, plan

@@ -196,6 +196,21 @@ def main():
         ],
     )
 
+    # 8b. conversation-structure verdicts: the lag window and the
+    # per-conversation agg share ONE hash exchange on conv_id
+    from datacheck_spark.transcripts import conversation_structure
+    add(
+        "conversation structure (window + agg, one exchange)",
+        conversation_structure(tr),
+        [
+            (
+                "agg reuses the window's conv_id partitioning",
+                lambda p: p.count("Exchange hashpartitioning(conv_id") <= 2,
+            ),
+            ("lag window present", lambda p: "lag(" in p.lower()),
+        ],
+    )
+
     # 9. salted two-phase aggregation (skew handling): two agg pairs
     from datacheck_spark.sessions import conversation_stats
     salted = conversation_stats(tr, salt_buckets=8)
