@@ -324,6 +324,58 @@ def call_tool(
             required_threshold=float(args.get("required_threshold", 0.95)),
         )
 
+    if name == "check_conversation_structure":
+        # beyond-reference 14th tool: cross-turn transcript structure
+        # verdicts (turn contiguity, role alternation, ts monotonicity)
+        from pyspark.sql import functions as F
+
+        from datacheck_spark.transcripts import conversation_structure
+
+        if args.get("path"):
+            df = spark.read.parquet(args["path"])
+        else:
+            df = _df_from_samples(spark, args.get("samples", []))
+        for required in ("conv_id", "turn_idx"):
+            if required not in df.columns:
+                raise ValueError(
+                    f"check_conversation_structure requires a "
+                    f"'{required}' column"
+                )
+        # role/ts are optional in ad-hoc samples: absent columns become
+        # NULL, which the flags treat as no-violation (three-valued AND)
+        if "role" not in df.columns:
+            df = df.withColumn("role", F.lit(None).cast("string"))
+        ts_col = args.get("ts_col", "ts")
+        if ts_col not in df.columns:
+            df = df.withColumn(ts_col, F.lit(None).cast("timestamp"))
+        out_df = conversation_structure(df, ts_col=ts_col)
+        summary = (
+            out_df.agg(
+                F.count(F.lit(1)).alias("conversations"),
+                F.sum((~F.col("conv_pass")).cast("long")).alias("failing"),
+                F.sum((~F.col("contiguous")).cast("long")).alias(
+                    "non_contiguous"
+                ),
+                F.sum((~F.col("roles_alternate")).cast("long")).alias(
+                    "role_repeats"
+                ),
+                F.sum((~F.col("ts_monotonic")).cast("long")).alias(
+                    "ts_regressions"
+                ),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        max_rows = int(args.get("max_return_rows", 1000))
+        failing = [
+            r.asDict()
+            for r in out_df.where(~F.col("conv_pass"))
+            .orderBy("conv_id")
+            .limit(max_rows)
+            .collect()
+        ]
+        return {"summary": summary, "failing_conversations": failing}
+
     raise ValueError(f"unknown tool: {name}")
 
 
@@ -337,5 +389,5 @@ TOOLS = [
     "compare_datasets", "calculate_contribution", "generate_report",
     "diff_reports",
     # beyond-reference
-    "diagnose_skew", "suggest_rules",
+    "diagnose_skew", "suggest_rules", "check_conversation_structure",
 ]

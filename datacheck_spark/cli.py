@@ -339,20 +339,36 @@ def cmd_transcripts(args) -> int:
             )
         )
     report = checker.run(df)
-    print(
-        json.dumps(
-            {
-                "total_turns": report.total_turns,
-                "pass_rate": round(report.pass_rate, 4),
-                "error_count": report.error_count,
-                "warning_count": report.warning_count,
-                "duplicate_keys": report.duplicate_keys,
-                "orphan_tools": report.orphan_tools,
-                "anomaly_count": report.anomaly_count,
-            },
-            ensure_ascii=False,
-        )
-    )
+    out = {
+        "total_turns": report.total_turns,
+        "pass_rate": round(report.pass_rate, 4),
+        "error_count": report.error_count,
+        "warning_count": report.warning_count,
+        "duplicate_keys": report.duplicate_keys,
+        "orphan_tools": report.orphan_tools,
+        "anomaly_count": report.anomaly_count,
+    }
+    if args.structure:
+        from pyspark.sql import functions as F
+
+        from datacheck_spark.transcripts import conversation_structure
+
+        sdf = conversation_structure(df)
+        row = sdf.agg(
+            F.count(F.lit(1)).alias("conversations"),
+            F.sum((~F.col("conv_pass")).cast("long")).alias("failing"),
+            F.sum((~F.col("contiguous")).cast("long")).alias(
+                "non_contiguous"
+            ),
+            F.sum((~F.col("roles_alternate")).cast("long")).alias(
+                "role_repeats"
+            ),
+            F.sum((~F.col("ts_monotonic")).cast("long")).alias(
+                "ts_regressions"
+            ),
+        ).collect()[0]
+        out["structure"] = row.asDict()
+    print(json.dumps(out, ensure_ascii=False))
     return 0 if report.pass_rate >= args.threshold else 1
 
 
@@ -751,6 +767,12 @@ def main(argv=None) -> int:
     t.add_argument("--buckets", type=int, default=32)
     t.add_argument("--threshold", type=float, default=0.0)
     t.add_argument("--incremental", action="store_true")
+    t.add_argument(
+        "--structure",
+        action="store_true",
+        help="add cross-turn conversation-structure verdicts "
+        "(turn contiguity, role alternation, ts monotonicity)",
+    )
     t.set_defaults(fn=cmd_transcripts)
 
     cb = sub.add_parser("contribute")

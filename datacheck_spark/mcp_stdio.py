@@ -138,6 +138,11 @@ _TOOL_SCHEMAS: Dict[str, Dict[str, Any]] = {
             required_threshold="number",
         ),
     },
+    "check_conversation_structure": {
+        "properties": _props(
+            path="string", ts_col="string", max_return_rows="integer",
+        ),
+    },
 }
 
 

@@ -249,11 +249,11 @@ def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     conversations (10^5 turns) stream through. At 10^12 turns this
     runs per conv_bucket partition exactly like the fused rule pass.
     """
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy(F.col("turn_idx").asc(), F.col("role").asc(),
-                 F.col("text").asc())
-    )
+    order_cols = [F.col("turn_idx").asc()]
+    for tie in ("role", "text"):  # stable tie-break; optional columns
+        if tie in df.columns:
+            order_cols.append(F.col(tie).asc())
+    w = Window.partitionBy("conv_id").orderBy(*order_cols)
     prev_idx = F.lag("turn_idx").over(w)
     prev_role = F.lag("role").over(w)
     prev_ts = F.lag(ts_col).over(w)

@@ -249,3 +249,24 @@ def test_validate_cli_samples_fallback_and_no_data(spark, tmp_path, capsys):
     rc = main(["validate", str(base2)])
     assert rc == 1
     assert "No data file found" in capsys.readouterr().err
+
+
+def test_transcripts_structure_cli(spark, tmp_path, capsys):
+    """`transcripts --structure` adds the cross-turn verdict summary;
+    the planted duplicate keys surface as non-contiguous/failing
+    conversations."""
+    from datacheck_spark.transcripts import generate_transcripts
+
+    data = str(tmp_path / "t.parquet")
+    generate_transcripts(spark, n_convs=150, turns_per_conv=6).write.parquet(
+        data
+    )
+    rc = main(["transcripts", data, "--structure"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc in (0, 1)
+    s = out["structure"]
+    assert s["conversations"] == 150
+    # ~0.5% duplicated keys over ~900 turns -> a few failing convs
+    assert s["failing"] >= 1
+    assert s["non_contiguous"] >= 1
+    assert s["failing"] <= s["conversations"]

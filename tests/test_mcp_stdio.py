@@ -138,6 +138,14 @@ def test_every_tool_dispatches(spark, tmp_path):
             "report_b": {"summary": {"pass_rate": 0.8}},
         },
         "diagnose_skew": {"samples": samples * 4, "key_fields": ["id"]},
+        "check_conversation_structure": {
+            "samples": [
+                {"conv_id": "c1", "turn_idx": 0, "role": "user"},
+                {"conv_id": "c1", "turn_idx": 1, "role": "assistant"},
+                {"conv_id": "c2", "turn_idx": 0, "role": "user"},
+                {"conv_id": "c2", "turn_idx": 2, "role": "user"},
+            ]
+        },
         "suggest_rules": {"samples": samples * 4},
         "validate_from_datarecipe": {
             "analysis_dir": str(tmp_path / "analysis")
