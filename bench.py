@@ -448,6 +448,28 @@ def main():
             if time.time() - t_start > TOTAL_TIME_BUDGET:
                 break  # never run the whole bench into an outer timeout
         per_query[name] = round(best_wall, 3)
+
+    # cross-turn structure verdicts at bench scale (8.36M turns, one
+    # shuffle): timed over the same cached transcripts table as the
+    # headline suite, same best-of-N-clean methodology
+    from datacheck_spark.transcripts import conversation_structure
+
+    tdf = spark.read.parquet(tpath)
+    conv_fn = lambda: conversation_structure(tdf).count()  # noqa: E731
+    conv_fn()  # warm (plan + codegen)
+    best_wall = None
+    clean_seen = 0
+    for attempt in range(query_runs + 2):
+        _, meta = _timed(conv_fn)
+        best_wall = (
+            meta["wall"] if best_wall is None
+            else min(best_wall, meta["wall"])
+        )
+        if not _contaminated(meta):
+            clean_seen += 1
+        if clean_seen >= query_runs or time.time() - t_start > TOTAL_TIME_BUDGET:
+            break
+    per_query["conv_structure_bench"] = round(best_wall, 3)
     per_query["transcript_suite"] = round(suite["wall_sec"], 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
