@@ -267,3 +267,80 @@ def test_conversation_structure_single_shuffle(spark, transcripts):
 
     plan = conversation_structure(transcripts)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(conv_id") == 1, plan
+
+
+def test_conversation_structure_differential_fuzz(spark):
+    """Seeded random conversations (gaps, duplicate idx, null roles/ts,
+    shuffled row order) vs a pure-Python model of the same semantics —
+    guards the tie-break ordering and three-valued NULL logic."""
+    import datetime as dt
+    import random
+
+    from datacheck_spark.transcripts import conversation_structure
+
+    rng = random.Random(20260818)
+    t0 = dt.datetime(2026, 1, 1)
+    roles = ["user", "assistant", "system", "tool"]
+    rows = []
+    for c in range(200):
+        n = rng.randint(1, 8)
+        idxs = sorted(rng.sample(range(0, 12), n))
+        conv_rows = [
+            (
+                f"c{c:03d}",
+                i,
+                rng.choice(roles) if rng.random() > 0.1 else None,
+                f"text {rng.randint(0, 3)}" if rng.random() > 0.1 else None,
+                None,
+                t0 + dt.timedelta(seconds=rng.randint(0, 50))
+                if rng.random() > 0.1 else None,
+            )
+            for i in idxs
+        ]
+        if rng.random() < 0.3:
+            # duplicate-key rows are EXACT copies (as the generator's
+            # planted dups are): a same-key row with independently
+            # random attributes would make the tie order — and thus
+            # the flags — ambiguous in any engine
+            conv_rows.append(rng.choice(conv_rows))
+        rows.extend(conv_rows)
+    rng.shuffle(rows)  # input order must not matter
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r["conv_id"]: r.asDict() for r in conversation_structure(df).collect()}
+
+    # pure-Python model (same stable order + SQL three-valued logic)
+    def _key(r):
+        # NULLS FIRST for role/text, matching Spark ASC
+        return (r[1], r[2] is not None, r[2] or "", r[3] is not None, r[3] or "")
+
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r[0], []).append(r)
+    for cid, rs in by_conv.items():
+        rs.sort(key=_key)
+        dup = gap = rep = reg = 0
+        for prev, cur in zip(rs, rs[1:]):
+            if cur[1] == prev[1]:
+                dup += 1
+            if cur[1] > prev[1] + 1:
+                gap += 1
+            if cur[2] is not None and prev[2] is not None and cur[2] == prev[2]:
+                rep += 1
+            if cur[5] is not None and prev[5] is not None and cur[5] < prev[5]:
+                reg += 1
+        starts = min(r[1] for r in rs) == 0
+        exp = {
+            "conv_id": cid,
+            "n_turns": len(rs),
+            "contiguous": starts and dup == 0 and gap == 0,
+            "roles_alternate": rep == 0,
+            "ts_monotonic": reg == 0,
+        }
+        exp["conv_pass"] = (
+            exp["contiguous"] and exp["roles_alternate"] and exp["ts_monotonic"]
+        )
+        assert got[cid] == exp, (cid, got[cid], exp, rs)
