@@ -2179,6 +2179,59 @@ def conv_structure_transcripts(spark, sf_dir):
 
 
 @_q(
+    "structure_violations_transcripts",
+    f"""
+    WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_GLOB}')),
+    o AS (
+      SELECT conv_id, turn_idx, role, ts,
+             lag(turn_idx) OVER w AS prev_idx,
+             lag(role) OVER w AS prev_role,
+             lag(ts) OVER w AS prev_ts
+      FROM t
+      WINDOW w AS (
+        PARTITION BY conv_id
+        ORDER BY turn_idx ASC NULLS FIRST, role ASC NULLS FIRST,
+                 text ASC NULLS FIRST
+      )
+    )
+    SELECT conv_id, turn_idx, rule_id, observed FROM (
+      SELECT conv_id, turn_idx, 'duplicate_turn' AS rule_id,
+             'turn_idx ' || turn_idx || ' repeats' AS observed,
+             (prev_idx IS NOT NULL AND turn_idx = prev_idx) AS hit
+      FROM o
+      UNION ALL
+      SELECT conv_id, turn_idx, 'turn_gap',
+             'prev turn_idx ' || prev_idx || ' -> ' || turn_idx,
+             (prev_idx IS NOT NULL AND turn_idx > prev_idx + 1)
+      FROM o
+      UNION ALL
+      SELECT conv_id, turn_idx, 'role_repeat',
+             'role ' || role || ' repeats',
+             (prev_role IS NOT NULL AND role = prev_role)
+      FROM o
+      UNION ALL
+      SELECT conv_id, turn_idx, 'ts_regression',
+             'ts ' || ts::VARCHAR || ' < prev ' || prev_ts::VARCHAR,
+             (prev_ts IS NOT NULL AND ts < prev_ts)
+      FROM o
+    ) WHERE COALESCE(hit, FALSE)
+    ORDER BY conv_id, turn_idx, rule_id
+    """,
+)
+def structure_violations_transcripts(spark, sf_dir):
+    """Per-turn violation rows (conv_id, turn_idx, rule_id, observed)
+    for the cross-turn structure rules — the north rule's violation-row
+    shape; oracle re-derives each rule arm AND the observed strings
+    with DuckDB window functions under the same stable ordering."""
+    from datacheck_spark.transcripts import structure_violations
+
+    df = transcripts_table(spark)
+    return structure_violations(df).orderBy(
+        "conv_id", "turn_idx", "rule_id"
+    )
+
+
+@_q(
     "key_skew_events",
     """
     WITH counts AS (

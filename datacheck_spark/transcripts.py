@@ -296,6 +296,99 @@ def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def structure_violations(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-turn violation rows for the cross-turn structure rules, in
+    the engine's violation-row shape ``(conv_id, turn_idx, rule_id,
+    observed)`` (north rule: "violation rows (conv_id, turn_idx,
+    rule_id, observed)").
+
+    Rules: ``turn_gap`` (turn_idx jumps by >1), ``duplicate_turn``
+    (same turn_idx as the previous row), ``role_repeat`` (same role as
+    the previous turn), ``ts_regression`` (timestamp earlier than the
+    previous turn). Each row anchors at the LATER turn of the
+    offending pair; ``observed`` records the prev→cur values.
+
+    Same single-shuffle shape as :func:`conversation_structure` — one
+    lag window over (conv_id, stable turn order), then a filter; the
+    output is ∝ violation rate, not input size.
+    """
+    order_cols = [F.col("turn_idx").asc()]
+    for tie in ("role", "text"):
+        if tie in df.columns:
+            order_cols.append(F.col(tie).asc())
+    w = Window.partitionBy("conv_id").orderBy(*order_cols)
+    prev_idx = F.lag("turn_idx").over(w)
+    prev_role = F.lag("role").over(w)
+    prev_ts = F.lag(ts_col).over(w)
+    cur_idx, cur_role, cur_ts = (
+        F.col("turn_idx"), F.col("role"), F.col(ts_col)
+    )
+    checks = [
+        (
+            "duplicate_turn",
+            prev_idx.isNotNull() & (cur_idx == prev_idx),
+            F.concat_ws(
+                "", F.lit("turn_idx "), cur_idx.cast("string"),
+                F.lit(" repeats"),
+            ),
+        ),
+        (
+            "turn_gap",
+            prev_idx.isNotNull() & (cur_idx > prev_idx + 1),
+            F.concat_ws(
+                "", F.lit("prev turn_idx "), prev_idx.cast("string"),
+                F.lit(" -> "), cur_idx.cast("string"),
+            ),
+        ),
+        (
+            "role_repeat",
+            prev_role.isNotNull() & (cur_role == prev_role),
+            F.concat_ws(
+                "", F.lit("role "), cur_role, F.lit(" repeats"),
+            ),
+        ),
+        (
+            "ts_regression",
+            prev_ts.isNotNull() & (cur_ts < prev_ts),
+            F.concat_ws(
+                "", F.lit("ts "), cur_ts.cast("string"),
+                F.lit(" < prev "), prev_ts.cast("string"),
+            ),
+        ),
+    ]
+    flagged = df.select(
+        "conv_id",
+        "turn_idx",
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        F.coalesce(cond, F.lit(False)),
+                        F.struct(
+                            F.lit(rid).alias("rule_id"),
+                            obs.alias("observed"),
+                        ),
+                    )
+                    for rid, cond, obs in checks
+                ]
+            ),
+            lambda s: s.isNotNull(),
+        ).alias("__v"),
+    )
+    return (
+        flagged.where(F.size("__v") > 0)
+        .select(
+            "conv_id", "turn_idx", F.explode("__v").alias("__e")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("__e.rule_id").alias("rule_id"),
+            F.col("__e.observed").alias("observed"),
+        )
+    )
+
+
 # --- flagship pipeline ----------------------------------------------------
 
 

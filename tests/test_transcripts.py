@@ -344,3 +344,41 @@ def test_conversation_structure_differential_fuzz(spark):
             exp["contiguous"] and exp["roles_alternate"] and exp["ts_monotonic"]
         )
         assert got[cid] == exp, (cid, got[cid], exp, rs)
+
+
+def test_structure_violations_planted(spark):
+    """Each structure rule emits a per-turn violation row anchored at
+    the later turn of the offending pair, with the prev->cur detail."""
+    import datetime as dt
+
+    from datacheck_spark.transcripts import structure_violations
+
+    t0 = dt.datetime(2026, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # gap between 1 and 3; role repeat at 3; ts regression at 3
+        ("c1", 0, "user", "a", None, t0),
+        ("c1", 1, "assistant", "b", None, t0 + sec),
+        ("c1", 3, "assistant", "c", None, t0),
+        # duplicate turn 1 (exact copy)
+        ("c2", 0, "user", "x", None, t0),
+        ("c2", 1, "assistant", "y", None, t0 + sec),
+        ("c2", 1, "assistant", "y", None, t0 + sec),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"], r["rule_id"]): r["observed"]
+        for r in structure_violations(df).collect()
+    }
+    assert got[("c1", 3, "turn_gap")] == "prev turn_idx 1 -> 3"
+    assert got[("c1", 3, "role_repeat")] == "role assistant repeats"
+    assert ("c1", 3, "ts_regression") in got
+    assert "< prev" in got[("c1", 3, "ts_regression")]
+    assert got[("c2", 1, "duplicate_turn")] == "turn_idx 1 repeats"
+    # the duplicate pair also repeats the role
+    assert got[("c2", 1, "role_repeat")] == "role assistant repeats"
+    assert len(got) == 5
