@@ -374,7 +374,20 @@ def call_tool(
             .limit(max_rows)
             .collect()
         ]
-        return {"summary": summary, "failing_conversations": failing}
+        from datacheck_spark.transcripts import structure_violations
+
+        violations = [
+            r.asDict()
+            for r in structure_violations(df, ts_col=ts_col)
+            .orderBy("conv_id", "turn_idx", "rule_id")
+            .limit(max_rows)
+            .collect()
+        ]
+        return {
+            "summary": summary,
+            "failing_conversations": failing,
+            "violations": violations,
+        }
 
     raise ValueError(f"unknown tool: {name}")
 
