@@ -2232,6 +2232,36 @@ def structure_violations_transcripts(spark, sf_dir):
 
 
 @_q(
+    "pack_documents",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             (sum(COALESCE(n_chars, 0)) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - COALESCE(n_chars, 0))::BIGINT AS start_offset
+      FROM documents
+    )
+    SELECT doc_id, start_offset,
+           CAST(FLOOR(start_offset / 4096.0) AS BIGINT) AS pack_id
+    FROM c ORDER BY doc_id
+    """,
+)
+def pack_documents(spark, sf_dir):
+    """Sequence packing (concat-and-chunk pack assignment) via the
+    two-phase distributed prefix sum — NOT a global single-partition
+    window; oracle recomputes the running offsets with a DuckDB window
+    function over the same stable order."""
+    from datacheck_spark.packing import assign_packs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return assign_packs(
+        docs, "n_chars", budget=4096, order_col="doc_id",
+        num_partitions=8,
+    ).select("doc_id", "start_offset", "pack_id").orderBy("doc_id")
+
+
+@_q(
     "key_skew_events",
     """
     WITH counts AS (

@@ -1,0 +1,89 @@
+"""Sequence packing (concat-and-chunk) tests: partition-count
+independence of the distributed prefix sum, chunk semantics, nulls."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacheck_spark.packing import assign_packs, pack_stats
+
+
+def _mk(spark, n=500, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (f"d{i:05d}", rng.randint(0, 900) if rng.random() > 0.05 else None)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, tok int")
+
+
+def test_partition_count_independence(spark):
+    """The prefix sum is a pure function of the global order — the
+    same result at 1, 3, and 32 range partitions."""
+    df = _mk(spark)
+    outs = [
+        sorted(
+            map(
+                tuple,
+                assign_packs(
+                    df, "tok", budget=2048, num_partitions=p
+                ).select("doc_id", "start_offset", "pack_id").collect(),
+            )
+        )
+        for p in (1, 3, 32)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_chunk_semantics(spark):
+    """start_offset is the exact running total in doc_id order; every
+    pack except the last spans >= budget tokens (a straddling document
+    counts toward the pack it starts in); pack ids start at 0 and are
+    contiguous."""
+    df = _mk(spark, n=300)
+    budget = 1000
+    out = (
+        assign_packs(df, "tok", budget=budget, num_partitions=5)
+        .orderBy("doc_id")
+        .collect()
+    )
+    running = 0
+    for r in out:
+        assert r["start_offset"] == running
+        assert r["pack_id"] == running // budget
+        running += r["tok"] or 0
+    packs = [r["pack_id"] for r in out]
+    assert packs[0] == 0
+    assert sorted(set(packs)) == list(range(max(packs) + 1))
+    stats = pack_stats(
+        assign_packs(df, "tok", budget=budget, num_partitions=5), "tok"
+    ).collect()
+    # each non-final pack's span reaches the next boundary
+    for a, b in zip(stats, stats[1:]):
+        assert a["first_offset"] + a["tokens"] >= (a["pack_id"] + 1) * budget
+        assert b["first_offset"] == a["first_offset"] + a["tokens"]
+
+
+def test_null_tokens_and_bad_budget(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", 10)], "doc_id string, tok int"
+    )
+    out = {
+        r["doc_id"]: r["start_offset"]
+        for r in assign_packs(df, "tok", budget=5).collect()
+    }
+    assert out == {"a": 0, "b": 0}  # null packs as 0 tokens
+    with pytest.raises(ValueError):
+        assign_packs(df, "tok", budget=0)
+
+
+def test_no_global_single_partition_window(spark):
+    """The plan must not contain a partition-less window (the
+    single-task global-sort trap this module exists to avoid)."""
+    df = _mk(spark, n=100)
+    plan = (
+        assign_packs(df, "tok", budget=512, num_partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan, plan
