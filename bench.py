@@ -308,6 +308,7 @@ SECONDARY = [
     "key_skew_events",
     "suggest_rules_events",
     "json_checks_events",
+    "pack_documents",
 ]
 
 
