@@ -393,6 +393,43 @@ def cmd_skew(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Sequence packing: assign concat-and-chunk pack ids by token
+    budget (packing.py) and optionally write the packed table."""
+    from pyspark.sql import functions as F
+
+    from datacheck_spark import sources as SRC
+    from datacheck_spark.packing import assign_packs, pack_stats
+
+    spark = _spark("datacheck-pack", args.master)
+    if args.data.endswith(".parquet"):
+        df = spark.read.parquet(args.data)
+    else:
+        df, _ = SRC.load_data(spark, args.data)
+    packed = assign_packs(
+        df, args.token_col, budget=args.budget, order_col=args.order_col
+    )
+    if args.output:
+        packed.write.mode("overwrite").parquet(args.output)
+    stats = pack_stats(packed, args.token_col)
+    n_packs, n_docs, tokens = stats.agg(
+        F.count(F.lit(1)), F.sum("n_docs"), F.sum("tokens")
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "packs": int(n_packs or 0),
+                "documents": int(n_docs or 0),
+                "tokens": int(tokens or 0),
+                "budget": args.budget,
+                "output": args.output,
+            },
+            ensure_ascii=False,
+        )
+    )
+    return 0
+
+
 def cmd_rules(args) -> int:
     """List the rules of a ruleset (reference ``cli.py`` rules cmd)."""
     from datacheck_spark.rules.compiler import (
@@ -810,6 +847,14 @@ def main(argv=None) -> int:
     sk.add_argument("--top-k", type=int, default=20)
     sk.add_argument("--salt-threshold", type=float, default=4.0)
     sk.set_defaults(fn=cmd_skew)
+
+    pk = sub.add_parser("pack")
+    pk.add_argument("data")
+    pk.add_argument("--token-col", required=True)
+    pk.add_argument("--budget", type=int, required=True)
+    pk.add_argument("--order-col", default="doc_id")
+    pk.add_argument("-o", "--output")
+    pk.set_defaults(fn=cmd_pack)
 
     args = ap.parse_args(argv)
     return args.fn(args)

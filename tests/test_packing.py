@@ -87,3 +87,28 @@ def test_no_global_single_partition_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_pack_cli(spark, tmp_path, capsys):
+    """`pack` subcommand assigns packs over a parquet table, writes the
+    packed output, and reports pack totals."""
+    import json
+
+    from datacheck_spark.cli import main
+
+    data = str(tmp_path / "docs.parquet")
+    _mk(spark, n=200).withColumnRenamed("tok", "n_tokens").write.parquet(
+        data
+    )
+    out = str(tmp_path / "packed.parquet")
+    rc = main([
+        "pack", data, "--token-col", "n_tokens", "--budget", "2000",
+        "-o", out,
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["documents"] == 200
+    assert rep["packs"] >= 1
+    packed = spark.read.parquet(out)
+    assert packed.count() == 200
+    assert {"pack_id", "start_offset"} <= set(packed.columns)
