@@ -485,27 +485,53 @@ def main():
                 break  # never run the whole bench into an outer timeout
         per_query[name] = round(best_wall, 3)
 
-    # cross-turn structure verdicts at bench scale (8.36M turns, one
-    # shuffle): timed over the same cached transcripts table as the
-    # headline suite, same best-of-N-clean methodology
+    # bench-scale extras over the same cached 8.36M-turn table as the
+    # headline suite, same best-of-N-clean methodology:
+    # - conversation_structure: one-shuffle cross-turn verdicts
+    # - assign_packs: two-phase distributed prefix sum (range shuffle +
+    #   localCheckpoint + offset join), never a single-partition window
+    from pyspark.sql import functions as F
+
+    from datacheck_spark.packing import assign_packs
     from datacheck_spark.transcripts import conversation_structure
 
     tdf = spark.read.parquet(tpath)
-    conv_fn = lambda: conversation_structure(tdf).count()  # noqa: E731
-    conv_fn()  # warm (plan + codegen)
-    best_wall = None
-    clean_seen = 0
-    for attempt in range(query_runs + 2):
-        _, meta = _timed(conv_fn)
-        best_wall = (
-            meta["wall"] if best_wall is None
-            else min(best_wall, meta["wall"])
-        )
-        if not _contaminated(meta):
-            clean_seen += 1
-        if clean_seen >= query_runs or time.time() - t_start > TOTAL_TIME_BUDGET:
-            break
-    per_query["conv_structure_bench"] = round(best_wall, 3)
+    # packing needs a UNIQUE order key; (conv_id, zero-padded turn_idx)
+    # is the transcripts' natural layout order
+    pdf = tdf.select(
+        F.concat_ws(
+            "#", "conv_id",
+            F.lpad(F.col("turn_idx").cast("string"), 6, "0"),
+        ).alias("__k"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("__tok"),
+    )
+    extras = {
+        "conv_structure_bench": lambda: conversation_structure(
+            tdf
+        ).count(),
+        "pack_transcripts_bench": lambda: assign_packs(
+            pdf, "__tok", budget=1 << 20, order_col="__k",
+            num_partitions=64,
+        ).count(),
+    }
+    for qname, fn in extras.items():
+        fn()  # warm (plan + codegen)
+        best_wall = None
+        clean_seen = 0
+        for attempt in range(query_runs + 2):
+            _, meta = _timed(fn)
+            best_wall = (
+                meta["wall"] if best_wall is None
+                else min(best_wall, meta["wall"])
+            )
+            if not _contaminated(meta):
+                clean_seen += 1
+            if (
+                clean_seen >= query_runs
+                or time.time() - t_start > TOTAL_TIME_BUDGET
+            ):
+                break
+        per_query[qname] = round(best_wall, 3)
     per_query["transcript_suite"] = round(suite["wall_sec"], 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

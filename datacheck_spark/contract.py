@@ -2262,6 +2262,37 @@ def pack_documents(spark, sf_dir):
 
 
 @_q(
+    "pack_stats_documents",
+    """
+    WITH c AS (
+      SELECT doc_id, COALESCE(n_chars, 0)::BIGINT AS tok,
+             (sum(COALESCE(n_chars, 0)) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - COALESCE(n_chars, 0))::BIGINT AS start_offset
+      FROM documents
+    )
+    SELECT CAST(FLOOR(start_offset / 4096.0) AS BIGINT) AS pack_id,
+           count(*)::BIGINT AS n_docs,
+           sum(tok)::BIGINT AS tokens,
+           min(start_offset)::BIGINT AS first_offset
+    FROM c GROUP BY pack_id ORDER BY pack_id
+    """,
+)
+def pack_stats_documents(spark, sf_dir):
+    """Per-pack rollup (docs, tokens, first offset) of the packing
+    assignment — the pack manifest a training loader consumes."""
+    from datacheck_spark.packing import assign_packs, pack_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = assign_packs(
+        docs, "n_chars", budget=4096, order_col="doc_id",
+        num_partitions=8,
+    )
+    return pack_stats(packed, "n_chars")
+
+
+@_q(
     "key_skew_events",
     """
     WITH counts AS (
