@@ -178,14 +178,18 @@ Resumability: see BENCH/RESUME.md (kill-and-rerun identity evidence,
     out_path = ROOT / "BENCH" / "SCALING_RUN.md"
     out_path.parent.mkdir(exist_ok=True)
     out_path.write_text(md, encoding="utf-8")
+    # probes are bulky — they live in SCALING_RUN.md; keep the final
+    # JSON line compact so any tail-capture parser sees it whole
+    print(json.dumps({
+        "probes": {str(c): runs[c].get("probes") for c in levels},
+        "discarded": {str(c): runs[c].get("discarded", 0) for c in levels},
+    }))
     print(json.dumps({
         "wall_8": round(w8, 2), "wall_32": round(w32, 2),
         "tp_8": round(tp8), "tp_32": round(tp32),
         "efficiency": round(eff, 3), "turns": turns,
         "pairs": {k: round(v, 3) for k, v in effs.items()},
         "walls": {str(c): round(wall[c], 2) for c in levels},
-        "probes": {str(c): runs[c].get("probes") for c in levels},
-        "discarded": {str(c): runs[c].get("discarded", 0) for c in levels},
     }))
 
 

@@ -348,7 +348,16 @@ def call_tool(
         ts_col = args.get("ts_col", "ts")
         if ts_col not in df.columns:
             df = df.withColumn(ts_col, F.lit(None).cast("timestamp"))
-        out_df = conversation_structure(df, ts_col=ts_col)
+        # three actions follow (summary agg, failing collect, per-turn
+        # violations) — persist the input so the scan runs once, and
+        # the per-conversation result so its lag-window pipeline isn't
+        # re-executed for the failing-rows collect
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out_df = conversation_structure(df, ts_col=ts_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         summary = (
             out_df.agg(
                 F.count(F.lit(1)).alias("conversations"),
@@ -383,6 +392,8 @@ def call_tool(
             .limit(max_rows)
             .collect()
         ]
+        out_df.unpersist()
+        df.unpersist()
         return {
             "summary": summary,
             "failing_conversations": failing,

@@ -74,7 +74,25 @@ def cmd_check(args) -> int:
     p = Path(args.data)
     if len(paths) > 1 or p.is_dir():
         if len(paths) > 1:
-            # pre-commit hook surface: explicit changed-file list
+            # pre-commit hook surface: explicit changed-file list.
+            # Flags that only apply to directory discovery or
+            # single-file checking are NOT silently dropped here.
+            ignored = [
+                flag
+                for flag, val in (
+                    ("--pattern", args.pattern),
+                    ("--sample", args.sample),
+                    ("--sample-rate", args.sample_rate),
+                )
+                if val is not None
+            ]
+            if ignored:
+                print(
+                    "warning: "
+                    + ", ".join(ignored)
+                    + " ignored when an explicit file list is given",
+                    file=sys.stderr,
+                )
             out = SRC.check_files(spark, paths, engine=engine)
         else:
             out = SRC.check_directory(

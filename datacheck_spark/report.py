@@ -179,10 +179,19 @@ def batch_to_markdown(
     table, per-file detail with error/warning counts and a pass/fail
     status, skipped files."""
     rate = batch.get("overall_pass_rate", 0.0)
+    # directory-scan results carry "directory"; explicit-file-list
+    # results (check_files — the pre-commit surface) carry "files"
+    if batch.get("directory"):
+        source_line = f"Directory: `{batch['directory']}`"
+    else:
+        shown = list(batch.get("files", []))
+        source_line = "Files: " + ", ".join(
+            f"`{f}`" for f in shown[:20]
+        ) + (f" … (+{len(shown) - 20} more)" if len(shown) > 20 else "")
     lines = [
         f"# {title}",
         "",
-        f"Directory: `{batch.get('directory', '')}`",
+        source_line,
         "",
         "## Summary",
         "",

@@ -109,17 +109,26 @@ def load_file_list(spark: SparkSession, files: Sequence[Path]) -> DataFrame:
     # unparseable file is skipped (reference checker.py:351-352), which
     # we surface as one corrupt "record" for the skip accounting.
     for jf in json_files:
+        # Tag with the RESOLVED absolute path: spark-read files get an
+        # absolute file: URI from input_file_name(), and the batch-check
+        # keying resolves tags back against cwd-resolved given paths —
+        # a relative tag (the pre-commit case: hooks pass repo-relative
+        # argv) would fall back to the basename and let two staged
+        # .json files with the same basename collide in file_results.
+        jf_abs = str(Path(jf).resolve())
         try:
             jdf, _schema = load_data(spark, jf)
         except Exception as exc:  # json.load failure → skipped file
             parts.append(
                 spark.createDataFrame(
-                    [(str(exc)[:200], f"file:{jf}")],
+                    [(str(exc)[:200], f"file:{jf_abs}")],
                     "_corrupt_record string, source_file string",
                 )
             )
             continue
-        parts.append(jdf.withColumn("source_file", F.lit(f"file:{jf}")))
+        parts.append(
+            jdf.withColumn("source_file", F.lit(f"file:{jf_abs}"))
+        )
     if csv_files:
         parts.append(
             spark.read.csv(csv_files, header=True, inferSchema=False)

@@ -249,8 +249,8 @@ def infer_schema(
 ) -> Dict[str, Any]:
     """Infer a validation schema (``checker.py:590-674``).
 
-    Exactly TWO jobs at any scale (the third — a separate ``count`` —
-    was pure job-latency overhead):
+    At most TWO jobs in the default size-aware mode (a third separate
+    ``count`` was pure job-latency overhead and is folded into job 1):
 
     - Job 1 fuses the row count, per-column non-null counts, string
       length min/max/avg, numeric min/max and HLL distinct sketches —
@@ -259,15 +259,18 @@ def infer_schema(
       (known from job 1) it fuses exact ``countDistinct`` with a
       slice-bounded ``sort_array(collect_set)`` per numeric column —
       exact oracle parity, and ``collect_set`` state is bounded by the
-      row cap. Above it, distinct counts come from the job-1 sketches
-      (HLL error ~2% cannot pull a >10-distinct column under the
-      candidate bar) and job 2 collects exact value sets only for the
-      (≤ enum_max_uniques-distinct, hence bounded) enum candidates —
-      and is skipped when there are none.
+      row cap. Above it, candidacy comes from the job-1 sketches with
+      a 2x margin, and job 2 collects slice-bounded value sets only
+      for those candidates, emitting an enum only after exact
+      confirmation (set length <= enum_max_uniques) — so an HLL error
+      in either direction can neither hide a true enum nor emit an
+      over-wide one. Job 2 is skipped when there are no candidates.
 
     ``approx_distinct``: None (default) = the size-aware switch above;
-    True forces sketch mode; False forces exact ``countDistinct`` but
-    only fuses the enum sets when the row cap allows it.
+    True forces sketch mode; False forces exact ``countDistinct`` —
+    above the row cap that is a third job (countDistinct cannot fuse
+    with the unbounded collect_set there), the documented cost of
+    demanding exactness past the auto-exact threshold.
     """
     from datacheck_spark.anomaly import AUTO_EXACT_ROWS
 
@@ -333,17 +336,32 @@ def infer_schema(
         fuse_enums_done = False
 
     if not fuse_enums_done:
-        enum_candidates = [
-            c for c in numeric_cols if 0 < uniq[c] <= enum_max_uniques
-        ]
+        # Mirrors suggest.profile_columns: in sketch mode ``uniq`` is an
+        # HLL estimate, so (a) candidacy uses a 2x margin (an
+        # over-estimate must not hide a true <=N enum), (b) the
+        # collect_set emission is slice-bounded (an under-estimate must
+        # not ship an unbounded set to the driver), and (c) the enum is
+        # only emitted after EXACT confirmation: the bounded slice of
+        # the full set proves the true distinct count iff its length
+        # stays <= enum_max_uniques.
+        bar = enum_max_uniques * (2 if approx_distinct else 1)
+        enum_candidates = [c for c in numeric_cols if 0 < uniq[c] <= bar]
         if enum_candidates:
             erow = df.agg(
                 *[
-                    F.sort_array(F.collect_set(c)).alias(c)
+                    F.slice(
+                        F.sort_array(F.collect_set(c)),
+                        1,
+                        enum_max_uniques + 1,
+                    ).alias(c)
                     for c in enum_candidates
                 ]
             ).collect()[0]
-            enums = {c: list(erow[c]) for c in enum_candidates}
+            enums = {
+                c: list(erow[c])
+                for c in enum_candidates
+                if 0 < len(erow[c]) <= enum_max_uniques
+            }
 
     fields: Dict[str, Any] = {}
     for c in df.columns:

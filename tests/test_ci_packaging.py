@@ -92,6 +92,48 @@ def test_check_files_result_shape(spark, tmp_path):
     assert any("nope.jsonl" in s for s in out["skipped_files"])
 
 
+def test_check_files_relative_json_duplicate_basenames(
+    spark, tmp_path, monkeypatch
+):
+    """The pre-commit case: hooks pass repo-RELATIVE paths. Two staged
+    .json files with the same basename in different directories must
+    each keep their own per-file row — before the absolute-path tagging
+    fix, both fell back to the basename, one overwrote the other, and a
+    failing file could be masked from the threshold gate."""
+    from datacheck_spark.sources import check_files
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "data.json").write_text(json.dumps(_good_rows(5)))
+    (tmp_path / "b" / "data.json").write_text(json.dumps(_bad_rows(5)))
+    monkeypatch.chdir(tmp_path)
+    out = check_files(spark, ["a/data.json", "b/data.json"])
+    assert out["total_files"] == 2
+    assert set(out["file_results"]) == {"a/data.json", "b/data.json"}
+    assert out["file_results"]["a/data.json"]["pass_rate"] == 1.0
+    assert out["file_results"]["b/data.json"]["pass_rate"] == 0.0
+
+
+def test_multi_file_check_warns_on_ignored_flags_and_lists_files(
+    spark, tmp_path, capsys
+):
+    """--pattern/--sample only apply to directory/single-file mode —
+    with an explicit file list they must warn, not silently vanish;
+    and the files-mode report must name its inputs instead of an empty
+    'Directory:' line."""
+    f1 = _write_jsonl(tmp_path / "a.jsonl", _good_rows())
+    f2 = _write_jsonl(tmp_path / "b.jsonl", _good_rows())
+    rc = main([
+        "check", str(f1), str(f2), "--pattern", "*.jsonl",
+        "--threshold", "0.5",
+    ])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "--pattern" in cap.err and "ignored" in cap.err
+    assert "Directory: ``" not in cap.out
+    assert "a.jsonl" in cap.out and "b.jsonl" in cap.out
+
+
 def test_workflow_example_invokes_gate():
     wf = (ROOT / "examples/github-actions/data-quality.yml").read_text()
     assert "datacheck-spark check" in wf

@@ -78,6 +78,17 @@ def test_null_tokens_and_bad_budget(spark):
         assign_packs(df, "tok", budget=0)
 
 
+def test_null_order_key_rejected(spark):
+    """A null order key has no position in the stable global order —
+    rejected up front (previously crashed with TypeError in the
+    driver-side offset sort)."""
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", 3)], "doc_id string, tok int"
+    )
+    with pytest.raises(ValueError, match="null"):
+        assign_packs(df, "tok", budget=5)
+
+
 def test_no_global_single_partition_window(spark):
     """The plan must not contain a partition-less window (the
     single-task global-sort trap this module exists to avoid)."""
