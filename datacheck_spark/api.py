@@ -371,6 +371,12 @@ def call_tool(
                 F.sum((~F.col("ts_monotonic")).cast("long")).alias(
                     "ts_regressions"
                 ),
+                F.sum((~F.col("tool_turns_paired")).cast("long")).alias(
+                    "unpaired_tool_convs"
+                ),
+                F.sum((~F.col("no_empty_assistant")).cast("long")).alias(
+                    "empty_assistant_convs"
+                ),
             )
             .collect()[0]
             .asDict()

@@ -2130,7 +2130,7 @@ def bucket_verdicts_transcripts(spark, sf_dir):
     f"""
     WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_GLOB}')),
     o AS (
-      SELECT conv_id, turn_idx, role, ts,
+      SELECT conv_id, turn_idx, role, text, ts,
              lag(turn_idx) OVER w AS prev_idx,
              lag(role) OVER w AS prev_role,
              lag(ts) OVER w AS prev_ts
@@ -2146,7 +2146,14 @@ def bucket_verdicts_transcripts(spark, sf_dir):
              (prev_idx IS NOT NULL AND turn_idx = prev_idx)::INT AS dup_turn,
              (prev_idx IS NOT NULL AND turn_idx > prev_idx + 1)::INT AS gap_turn,
              (prev_role IS NOT NULL AND role = prev_role)::INT AS role_repeat,
-             (prev_ts IS NOT NULL AND ts < prev_ts)::INT AS ts_regress
+             (prev_ts IS NOT NULL AND ts < prev_ts)::INT AS ts_regress,
+             COALESCE(role = 'tool'
+                      AND (prev_role IS NULL OR prev_role <> 'assistant'),
+                      FALSE)::INT AS unpaired_tool,
+             COALESCE(role = 'assistant'
+                      AND (text IS NULL OR length(regexp_replace(
+                             text, '^{_WS_RE2}+|{_WS_RE2}+$', '', 'g')) = 0),
+                      FALSE)::INT AS empty_asst
       FROM o
     ),
     a AS (
@@ -2156,14 +2163,18 @@ def bucket_verdicts_transcripts(spark, sf_dir):
              (COALESCE(sum(dup_turn), 0) = 0) AS nodup,
              (COALESCE(sum(gap_turn), 0) = 0) AS nogap,
              (COALESCE(sum(role_repeat), 0) = 0) AS roles_alternate,
-             (COALESCE(sum(ts_regress), 0) = 0) AS ts_monotonic
+             (COALESCE(sum(ts_regress), 0) = 0) AS ts_monotonic,
+             (COALESCE(sum(unpaired_tool), 0) = 0) AS tool_turns_paired,
+             (COALESCE(sum(empty_asst), 0) = 0) AS no_empty_assistant
       FROM f GROUP BY conv_id
     )
     SELECT conv_id, n_turns,
            (starts AND nodup AND nogap) AS contiguous,
-           roles_alternate, ts_monotonic,
+           roles_alternate, ts_monotonic, tool_turns_paired,
+           no_empty_assistant,
            (starts AND nodup AND nogap AND roles_alternate
-            AND ts_monotonic) AS conv_pass
+            AND ts_monotonic AND tool_turns_paired
+            AND no_empty_assistant) AS conv_pass
     FROM a ORDER BY conv_id
     """,
 )
@@ -2183,7 +2194,7 @@ def conv_structure_transcripts(spark, sf_dir):
     f"""
     WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_GLOB}')),
     o AS (
-      SELECT conv_id, turn_idx, role, ts,
+      SELECT conv_id, turn_idx, role, text, ts,
              lag(turn_idx) OVER w AS prev_idx,
              lag(role) OVER w AS prev_role,
              lag(ts) OVER w AS prev_ts
@@ -2214,6 +2225,20 @@ def conv_structure_transcripts(spark, sf_dir):
              'ts ' || ts::VARCHAR || ' < prev ' || prev_ts::VARCHAR,
              (prev_ts IS NOT NULL AND ts < prev_ts)
       FROM o
+      UNION ALL
+      SELECT conv_id, turn_idx, 'unpaired_tool_turn',
+             'tool turn follows ' || COALESCE(prev_role, 'start'),
+             (role = 'tool'
+              AND (prev_role IS NULL OR prev_role <> 'assistant'))
+      FROM o
+      UNION ALL
+      SELECT conv_id, turn_idx, 'empty_assistant_turn',
+             'assistant text blank (len '
+               || COALESCE(length(text)::VARCHAR, 'null') || ')',
+             (role = 'assistant'
+              AND (text IS NULL OR length(regexp_replace(
+                     text, '^{_WS_RE2}+|{_WS_RE2}+$', '', 'g')) = 0))
+      FROM o
     ) WHERE COALESCE(hit, FALSE)
     ORDER BY conv_id, turn_idx, rule_id
     """,
@@ -2229,6 +2254,85 @@ def structure_violations_transcripts(spark, sf_dir):
     return structure_violations(df).orderBy(
         "conv_id", "turn_idx", "rule_id"
     )
+
+
+# per-turn render + hash shared by the two conversation-dedup oracles:
+# md5 of turn_idx␟role␟text␟tool with chr(1) null markers — the exact
+# string transcripts.conversation_fingerprint builds (md5 is the one
+# hash both engines compute byte-identically)
+_TURN_HASH_SQL = (
+    "md5(COALESCE(turn_idx::VARCHAR, chr(1)) || chr(31) || "
+    "COALESCE(role, chr(1)) || chr(31) || "
+    "COALESCE(text, chr(1)) || chr(31) || "
+    "COALESCE(tool, chr(1)))"
+)
+
+
+@_q(
+    "conv_fingerprint_transcripts",
+    f"""
+    WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_GLOB}')),
+    c AS (SELECT conv_id, {_TURN_HASH_SQL} AS th FROM t)
+    SELECT conv_id, count(*)::BIGINT AS n_turns,
+           md5(string_agg(th, '' ORDER BY th)) AS conv_fp
+    FROM c GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def conv_fingerprint_transcripts(spark, sf_dir):
+    """Conversation-level exact content fingerprints (md5 over sorted
+    per-turn md5s — order-insensitive aggregation of an order-carrying
+    hash, so the fingerprint is a pure function of the ordered turn
+    content); every fingerprint string value-checked against DuckDB
+    computing the identical construction."""
+    from datacheck_spark.transcripts import conversation_fingerprint
+
+    df = transcripts_table(spark)
+    return conversation_fingerprint(df).orderBy("conv_id")
+
+
+_DUP_PLANT_IDS = "('conv_000003', 'conv_000007', 'conv_000011')"
+
+
+@_q(
+    "conv_dedup_transcripts",
+    f"""
+    WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_GLOB}')),
+    u AS (
+      SELECT conv_id, turn_idx, role, text, tool FROM t
+      UNION ALL
+      SELECT conv_id || '_dup', turn_idx, role, text, tool FROM t
+      WHERE conv_id IN {_DUP_PLANT_IDS}
+    ),
+    c AS (SELECT conv_id, {_TURN_HASH_SQL} AS th FROM u),
+    fp AS (
+      SELECT conv_id, count(*)::BIGINT AS n_turns,
+             md5(string_agg(th, '' ORDER BY th)) AS conv_fp
+      FROM c GROUP BY conv_id
+    )
+    SELECT conv_fp, count(*)::BIGINT AS n_convs,
+           min(n_turns) AS n_turns,
+           array_to_string((list(conv_id ORDER BY conv_id))[1:5], ',')
+             AS conv_ids
+    FROM fp GROUP BY conv_fp HAVING count(*) > 1 ORDER BY conv_fp
+    """,
+)
+def conv_dedup_transcripts(spark, sf_dir):
+    """Conversation-level exact dedup: three conversations are planted
+    as relabeled full copies inside the query, and the duplicate-group
+    output (fingerprint, group size, member ids) must match DuckDB's
+    re-derivation — proving the dedup keys on content, not conv_id."""
+    from datacheck_spark.transcripts import conversation_duplicates
+
+    df = transcripts_table(spark).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    ids = [s.strip("' ") for s in _DUP_PLANT_IDS.strip("()").split(",")]
+    planted = df.unionByName(
+        df.where(F.col("conv_id").isin(ids)).withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("_dup"))
+        )
+    )
+    return conversation_duplicates(planted, max_ids=5).orderBy("conv_fp")
 
 
 @_q(

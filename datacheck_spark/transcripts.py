@@ -52,6 +52,11 @@ _EPOCH = "2026-01-01 00:00:00"
 
 TOOL_VOCAB = [f"tool_{i}" for i in range(8)]
 
+#: generator role cycle — ``tool`` directly follows ``assistant`` so
+#: un-planted turns satisfy the tool-pairing structure rule; planted
+#: invalid roles / duplicate rows are what trip it
+_ROLE_CYCLE = ["user", "assistant", "tool", "system"]
+
 
 def _h(*cols, seed: int) -> Column:
     """Seeded 64-bit hash of the given columns; non-negative."""
@@ -118,7 +123,7 @@ def generate_transcripts(
     role_bucket = F.pmod(_h(cid, turn, seed=seed + 4), 1000)
     role = F.when(role_bucket < 2, F.lit("robot")).otherwise(
         F.element_at(
-            F.array(*[F.lit(r) for r in TRANSCRIPT_ROLES]),
+            F.array(*[F.lit(r) for r in _ROLE_CYCLE]),
             (F.pmod(turn, 4) + 1).cast("int"),
         )
     )
@@ -130,7 +135,7 @@ def generate_transcripts(
             F.concat(F.lit("tool_zz_"), F.pmod(tool_bucket, 7).cast("string")),
         )
         .when(
-            (tool_bucket < 200) & (role == "tool"),
+            role == "tool",
             F.element_at(
                 F.array(*[F.lit(t) for t in TOOL_VOCAB]),
                 (F.pmod(tool_bucket, len(TOOL_VOCAB)) + 1).cast("int"),
@@ -235,7 +240,17 @@ def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     - ``contiguous``: turn_idx runs 0..n-1 with no gaps or duplicates
     - ``roles_alternate``: no two consecutive turns share a role
     - ``ts_monotonic``: timestamps never regress along the turn order
+    - ``tool_turns_paired``: every ``tool``-role turn directly follows
+      an ``assistant`` turn (a tool result with no assistant call
+      before it is an orphaned tool turn — the cross-turn counterpart
+      of the tool-NAME referential check in :class:`TranscriptChecker`)
+    - ``no_empty_assistant``: no ``assistant`` turn has null or
+      whitespace-only text (an empty completion is a training-data
+      defect even where blank user/tool turns might be tolerated)
     - ``conv_pass``: all of the above
+
+    The last two need ``role`` (and ``text``) columns; when absent the
+    flags are trivially true so the output schema is stable.
 
     Turn order is made stable with (turn_idx, role, text) — the north
     rule's "stable turn ordering" — so verdicts are deterministic even
@@ -260,6 +275,7 @@ def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     cur_idx, cur_role, cur_ts = (
         F.col("turn_idx"), F.col("role"), F.col(ts_col)
     )
+    unpaired, empty_asst = _tool_empty_conds(df, prev_role)
     flags = df.select(
         "conv_id",
         "turn_idx",
@@ -271,6 +287,8 @@ def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         .cast("int").alias("__role_repeat"),
         (prev_ts.isNotNull() & (cur_ts < prev_ts))
         .cast("int").alias("__ts_regress"),
+        unpaired.cast("int").alias("__unpaired_tool"),
+        empty_asst.cast("int").alias("__empty_asst"),
     )
     agg = flags.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
@@ -283,6 +301,12 @@ def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         (F.coalesce(F.sum("__ts_regress"), F.lit(0)) == 0).alias(
             "ts_monotonic"
         ),
+        (F.coalesce(F.sum("__unpaired_tool"), F.lit(0)) == 0).alias(
+            "tool_turns_paired"
+        ),
+        (F.coalesce(F.sum("__empty_asst"), F.lit(0)) == 0).alias(
+            "no_empty_assistant"
+        ),
     )
     contiguous = F.col("__starts") & F.col("__nodup") & F.col("__nogap")
     return agg.select(
@@ -291,8 +315,38 @@ def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         contiguous.alias("contiguous"),
         "roles_alternate",
         "ts_monotonic",
-        (contiguous & F.col("roles_alternate") & F.col("ts_monotonic"))
-        .alias("conv_pass"),
+        "tool_turns_paired",
+        "no_empty_assistant",
+        (
+            contiguous
+            & F.col("roles_alternate")
+            & F.col("ts_monotonic")
+            & F.col("tool_turns_paired")
+            & F.col("no_empty_assistant")
+        ).alias("conv_pass"),
+    )
+
+
+def _tool_empty_conds(df: DataFrame, prev_role: Column):
+    """Violation conditions for the tool-pairing and empty-assistant
+    structure rules, shared by :func:`conversation_structure` and
+    :func:`structure_violations`. Each is FALSE (not null) on rows
+    missing the needed columns so sums/filters treat them as clean."""
+    if "role" not in df.columns:
+        return F.lit(False), F.lit(False)
+    role = F.col("role")
+    unpaired = (
+        (role == "tool")
+        & ~F.coalesce(prev_role == "assistant", F.lit(False))
+    )
+    if "text" in df.columns:
+        empty_asst = (role == "assistant") & (
+            F.col("text").isNull() | T.py_blank(F.col("text"))
+        )
+    else:
+        empty_asst = F.lit(False)
+    return F.coalesce(unpaired, F.lit(False)), F.coalesce(
+        empty_asst, F.lit(False)
     )
 
 
@@ -305,8 +359,11 @@ def structure_violations(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     Rules: ``turn_gap`` (turn_idx jumps by >1), ``duplicate_turn``
     (same turn_idx as the previous row), ``role_repeat`` (same role as
     the previous turn), ``ts_regression`` (timestamp earlier than the
-    previous turn). Each row anchors at the LATER turn of the
-    offending pair; ``observed`` records the prev→cur values.
+    previous turn), ``unpaired_tool_turn`` (a ``tool`` turn whose
+    previous turn is not an ``assistant`` turn), ``empty_assistant_turn``
+    (an ``assistant`` turn with null/whitespace-only text). Each pair
+    rule anchors at the LATER turn of the offending pair; ``observed``
+    records the prev→cur values.
 
     Same single-shuffle shape as :func:`conversation_structure` — one
     lag window over (conv_id, stable turn order), then a filter; the
@@ -356,6 +413,32 @@ def structure_violations(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             ),
         ),
     ]
+    unpaired, empty_asst = _tool_empty_conds(df, prev_role)
+    if "role" in df.columns:
+        checks.append(
+            (
+                "unpaired_tool_turn",
+                unpaired,
+                F.concat_ws(
+                    "", F.lit("tool turn follows "),
+                    F.coalesce(prev_role, F.lit("start")),
+                ),
+            )
+        )
+    if "role" in df.columns and "text" in df.columns:
+        checks.append(
+            (
+                "empty_assistant_turn",
+                empty_asst,
+                F.concat_ws(
+                    "", F.lit("assistant text blank (len "),
+                    F.coalesce(
+                        F.length("text").cast("string"), F.lit("null")
+                    ),
+                    F.lit(")"),
+                ),
+            )
+        )
     flagged = df.select(
         "conv_id",
         "turn_idx",
@@ -387,6 +470,84 @@ def structure_violations(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.col("__e.observed").alias("observed"),
         )
     )
+
+
+#: fingerprint field separator / null marker (control chars that the
+#: generator never emits inside a field — and even against adversarial
+#: text, each turn is md5-hashed BEFORE joining, so a separator inside
+#: a field cannot splice two turns together)
+_FP_SEP = "\x1f"
+_FP_NULL = "\x01"
+
+
+def conversation_fingerprint(df: DataFrame) -> DataFrame:
+    """Order-insensitive exact fingerprint of each conversation's turn
+    content: one row ``(conv_id, n_turns, conv_fp)`` per conversation.
+
+    Each turn is rendered as ``turn_idx␟role␟text␟tool`` (nulls as a
+    marker byte) and md5-hashed; the conversation fingerprint is the
+    md5 of the turn hashes sorted lexicographically. Because
+    ``turn_idx`` is inside the per-turn hash, the multiset of turn
+    hashes IS the ordered conversation — two conversations collide iff
+    every (turn_idx, role, text, tool) row matches. ``ts`` is excluded
+    on purpose: a conversation re-logged at a different time is still
+    the same conversation (the dedup this feeds is about content).
+
+    Scale: ONE shuffle (the groupBy on conv_id). Aggregation state per
+    conversation is the list of 32-char turn hashes — ~3 MB for a
+    10^5-turn hot conversation — never the turn text itself.
+    """
+    cols = [
+        F.coalesce(F.col("turn_idx").cast("string"), F.lit(_FP_NULL)),
+        F.coalesce(F.col("role"), F.lit(_FP_NULL))
+        if "role" in df.columns else F.lit(_FP_NULL),
+        F.coalesce(F.col("text"), F.lit(_FP_NULL))
+        if "text" in df.columns else F.lit(_FP_NULL),
+        F.coalesce(F.col("tool"), F.lit(_FP_NULL))
+        if "tool" in df.columns else F.lit(_FP_NULL),
+    ]
+    turn_hash = F.md5(F.concat_ws(_FP_SEP, *cols))
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(turn_hash)), "")
+        ).alias("conv_fp"),
+    )
+
+
+def conversation_duplicates(
+    df: DataFrame, max_ids: int = 5
+) -> DataFrame:
+    """Conversation-level exact duplicate groups: conversations whose
+    entire ordered turn content (see :func:`conversation_fingerprint`)
+    is identical. One row per duplicate group:
+    ``(conv_fp, n_convs, n_turns, conv_ids)`` with ``conv_ids`` the
+    first ``max_ids`` members in conv_id order, comma-joined (bounded —
+    a pathological million-copy group ships 5 ids, not a million).
+
+    Two shuffles total: conv_id groupBy (≈input size) then ONE conv_fp
+    exchange shared by the count window, the row_number bound, and the
+    final agg — over one row per conversation, ~1e3–1e5× smaller than
+    the input. As in ``dedup.duplicate_groups``, ``row_number ≤
+    max_ids`` runs BEFORE the collect_list (spillable window sort, no
+    unbounded agg buffer), so a pathological million-copy group costs
+    disk, never heap.
+    """
+    fp = conversation_fingerprint(df)
+    w = Window.partitionBy("conv_fp")
+    bounded = (
+        fp.withColumn("n_convs", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__rn", F.row_number().over(w.orderBy(F.col("conv_id").asc()))
+        )
+        .where((F.col("n_convs") > 1) & (F.col("__rn") <= max_ids))
+    )
+    return bounded.groupBy("conv_fp", "n_convs").agg(
+        F.min("n_turns").alias("n_turns"),
+        F.array_join(
+            F.sort_array(F.collect_list("conv_id")), ","
+        ).alias("conv_ids"),
+    ).select("conv_fp", "n_convs", "n_turns", "conv_ids")
 
 
 # --- flagship pipeline ----------------------------------------------------

@@ -241,6 +241,16 @@ def test_conversation_structure_planted(spark):
     # ts regression
     for i, ts in enumerate([t0, t0 + 5 * sec, t0 + 2 * sec]):
         rows.append(("reg", i, ["user", "assistant", "user"][i], f"t{i}", None, ts))
+    # unpaired tool turn: tool follows user (and one paired, after assistant)
+    for i, r in enumerate(["user", "tool", "assistant", "tool"]):
+        rows.append(("unp", i, r, f"t{i}", "tool_0" if r == "tool" else None,
+                     t0 + i * sec))
+    # empty assistant turn (whitespace-only text)
+    for i, (r, tx) in enumerate(
+        [("user", "hi"), ("assistant", "   "), ("user", "ok"),
+         ("assistant", "fine")]
+    ):
+        rows.append(("emp", i, r, tx, None, t0 + i * sec))
     df = spark.createDataFrame(
         rows,
         "conv_id string, turn_idx int, role string, text string, "
@@ -249,14 +259,27 @@ def test_conversation_structure_planted(spark):
     out = {r["conv_id"]: r.asDict() for r in conversation_structure(df).collect()}
     assert out["ok"] == {
         "conv_id": "ok", "n_turns": 4, "contiguous": True,
-        "roles_alternate": True, "ts_monotonic": True, "conv_pass": True,
+        "roles_alternate": True, "ts_monotonic": True,
+        "tool_turns_paired": True, "no_empty_assistant": True,
+        "conv_pass": True,
     }
     assert not out["gap"]["contiguous"] and out["gap"]["roles_alternate"]
     assert not out["dup"]["contiguous"] and not out["dup"]["roles_alternate"]
     assert not out["late"]["contiguous"] and out["late"]["ts_monotonic"]
     assert not out["rep"]["roles_alternate"] and out["rep"]["contiguous"]
     assert not out["reg"]["ts_monotonic"] and out["reg"]["contiguous"]
-    for bad in ["gap", "dup", "late", "rep", "reg"]:
+    # tool after user trips pairing; tool after assistant does not
+    assert not out["unp"]["tool_turns_paired"]
+    assert out["unp"]["no_empty_assistant"] and out["unp"]["contiguous"]
+    assert not out["emp"]["no_empty_assistant"]
+    assert out["emp"]["tool_turns_paired"] and out["emp"]["roles_alternate"]
+    for good in ["gap", "dup", "late", "rep", "reg"]:
+        # pre-existing plants are clean on the NEW rules (the "dup"
+        # conversation's exact-copy assistant rows are non-blank and
+        # not tool turns)
+        assert out[good]["tool_turns_paired"], good
+        assert out[good]["no_empty_assistant"], good
+    for bad in ["gap", "dup", "late", "rep", "reg", "unp", "emp"]:
         assert not out[bad]["conv_pass"], bad
 
 
@@ -322,8 +345,18 @@ def test_conversation_structure_differential_fuzz(spark):
         by_conv.setdefault(r[0], []).append(r)
     for cid, rs in by_conv.items():
         rs.sort(key=_key)
-        dup = gap = rep = reg = 0
-        for prev, cur in zip(rs, rs[1:]):
+        dup = gap = rep = reg = unp = emp = 0
+        for prev, cur in zip([None] + rs, rs):
+            if cur[2] == "tool" and not (
+                prev is not None and prev[2] == "assistant"
+            ):
+                unp += 1
+            if cur[2] == "assistant" and (
+                cur[3] is None or cur[3].strip() == ""
+            ):
+                emp += 1
+            if prev is None:
+                continue
             if cur[1] == prev[1]:
                 dup += 1
             if cur[1] > prev[1] + 1:
@@ -339,9 +372,13 @@ def test_conversation_structure_differential_fuzz(spark):
             "contiguous": starts and dup == 0 and gap == 0,
             "roles_alternate": rep == 0,
             "ts_monotonic": reg == 0,
+            "tool_turns_paired": unp == 0,
+            "no_empty_assistant": emp == 0,
         }
         exp["conv_pass"] = (
-            exp["contiguous"] and exp["roles_alternate"] and exp["ts_monotonic"]
+            exp["contiguous"] and exp["roles_alternate"]
+            and exp["ts_monotonic"] and exp["tool_turns_paired"]
+            and exp["no_empty_assistant"]
         )
         assert got[cid] == exp, (cid, got[cid], exp, rs)
 
@@ -364,6 +401,10 @@ def test_structure_violations_planted(spark):
         ("c2", 0, "user", "x", None, t0),
         ("c2", 1, "assistant", "y", None, t0 + sec),
         ("c2", 1, "assistant", "y", None, t0 + sec),
+        # tool turn opens the conversation (no assistant before it);
+        # whitespace-only assistant completion
+        ("c3", 0, "tool", "result", "tool_0", t0),
+        ("c3", 1, "assistant", "  ", None, t0 + sec),
     ]
     df = spark.createDataFrame(
         rows,
@@ -381,4 +422,53 @@ def test_structure_violations_planted(spark):
     assert got[("c2", 1, "duplicate_turn")] == "turn_idx 1 repeats"
     # the duplicate pair also repeats the role
     assert got[("c2", 1, "role_repeat")] == "role assistant repeats"
-    assert len(got) == 5
+    assert got[("c3", 0, "unpaired_tool_turn")] == "tool turn follows start"
+    assert got[("c3", 1, "empty_assistant_turn")] == (
+        "assistant text blank (len 2)"
+    )
+    assert len(got) == 7
+
+
+def test_conversation_dedup_planted(spark):
+    """Identical ordered turn content (even re-logged at different
+    timestamps, under shuffled row order) fingerprints equal; changing
+    one turn's text breaks the group; bounded conv_ids honour max_ids."""
+    import datetime as dt
+
+    from datacheck_spark.transcripts import (
+        conversation_duplicates,
+        conversation_fingerprint,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    turns = [
+        (0, "user", "hello", None),
+        (1, "assistant", "hi there", None),
+        (2, "tool", "result", "tool_3"),
+    ]
+    rows = []
+    for cid, shift, mutate in [
+        ("a", 0, False), ("b", 100, False),  # same content, other ts
+        ("c", 0, True),                       # one text differs
+        ("d", 50, False),                     # third copy of a/b
+    ]:
+        for i, role, text, tool in turns:
+            if mutate and i == 1:
+                text = "hi THERE"
+            rows.append((cid, i, role, text, tool, t0 + (i + shift) * sec))
+    rows.reverse()  # input order must not matter
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    fps = {r["conv_id"]: r["conv_fp"] for r in conversation_fingerprint(df).collect()}
+    assert fps["a"] == fps["b"] == fps["d"] != fps["c"]
+
+    groups = conversation_duplicates(df, max_ids=2).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_convs"] == 3 and g["n_turns"] == 3
+    assert g["conv_ids"] == "a,b"  # bounded at max_ids, conv_id order
+    assert g["conv_fp"] == fps["a"]
