@@ -285,13 +285,22 @@ def ensure_transcripts(spark, n_convs: int) -> str:
 
 
 def run_transcript_suite(spark, path: str) -> dict:
-    """The headline job: full transcript validation over the parquet."""
-    from datacheck_spark.transcripts import TranscriptChecker
+    """The headline job: full transcript validation over the parquet —
+    per-row fused rules + uniqueness + referential + anomaly
+    (TranscriptChecker) AND the cross-turn conversation-structure
+    verdicts, timed as ONE wall (the north-rule shape: per-row and
+    cross-turn rules in a single run)."""
+    from datacheck_spark.transcripts import (
+        TranscriptChecker,
+        structure_summary,
+    )
 
     df = spark.read.parquet(path)
     checker = TranscriptChecker()
     t0 = time.time()
     report = checker.run(df, detect_anomalies=True)
+    t1 = time.time()
+    srow = structure_summary(df).first()
     wall = time.time() - t0
     return {
         "wall_sec": wall,
@@ -301,6 +310,8 @@ def run_transcript_suite(spark, path: str) -> dict:
         "violations": report.error_count + report.warning_count,
         "duplicate_keys": report.duplicate_keys,
         "orphan_tools": report.orphan_tools,
+        "structure_wall_sec": round(wall - (t1 - t0), 3),
+        "structure_failing_convs": int(srow["failing_convs"] or 0),
     }
 
 
@@ -574,6 +585,8 @@ def main():
         "transcript_turns": suite["turns"],
         "validated_turns_per_sec": round(suite["turns_per_sec"], 1),
         "transcript_pass_rate": suite["pass_rate"],
+        "structure_wall_sec": suite.get("structure_wall_sec"),
+        "structure_failing_convs": suite.get("structure_failing_convs"),
         "suite_wall_median_sec": suite.get("median_wall"),
         "cpus": int(CPUS),
         "interference": interference,

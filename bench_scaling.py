@@ -22,7 +22,7 @@ RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, {root!r})
 from pyspark.sql import SparkSession
-from datacheck_spark.transcripts import TranscriptChecker
+from datacheck_spark.transcripts import TranscriptChecker, structure_summary
 from bench import InterferenceProbe, OTHER_CPU_FRAC, calibration_sample
 
 cpus = int(sys.argv[1]); path = sys.argv[2]; runs = int(sys.argv[3])
@@ -39,7 +39,12 @@ spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet(path)
 n = df.count()
 checker = TranscriptChecker()
-checker.run(df)  # warm-up (JIT, code cache, page cache)
+# the timed job is the SAME shape bench.py times: per-row fused rules
+# + cross-turn structure verdicts in one run
+def suite():
+    checker.run(df)
+    structure_summary(df).first()
+suite()  # warm-up (JIT, code cache, page cache)
 # interference-hardened timing (see bench.py): windows where external
 # processes burned > OTHER_CPU_FRAC of host CPU are discarded and
 # re-run (bounded); every window's probe ships in the output so a
@@ -47,7 +52,7 @@ checker.run(df)  # warm-up (JIT, code cache, page cache)
 walls, probes, extra = [], [], 0
 while len(walls) < runs and extra <= 2 * runs:
     probe = InterferenceProbe(); probe.start()
-    checker.run(df)
+    suite()
     m = probe.stop()
     cal = calibration_sample()
     probes.append({{"wall": round(m["wall"], 2),

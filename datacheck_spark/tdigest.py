@@ -114,6 +114,15 @@ def merge_digests(digests: Sequence[TDigest], compression: int = 100) -> TDigest
     return TDigest(m, w, compression)
 
 
+#: fan-in of the executor-side pre-merge level in ``column_tdigest``:
+#: above ~2× this many scan partitions, the per-partition digests are
+#: first merged in groups of ~TREE_FANIN on executors (treeAggregate
+#: shape) so the driver collect is O(partitions / TREE_FANIN) digests
+#: instead of one per scan partition — a 10^5-partition scan ships
+#: ~1.6k pre-merged sketches, not 10^5.
+TREE_FANIN = 64
+
+
 def column_tdigest(
     df: DataFrame, col: str, compression: int = 100
 ) -> TDigest:
@@ -121,7 +130,12 @@ def column_tdigest(
     per partition emitting ≤ compression centroids, merged driver-side.
 
     State shipped per partition: 2 × compression doubles — constant
-    regardless of partition size.
+    regardless of partition size. Beyond ``2 × TREE_FANIN`` scan
+    partitions a second executor-side level merges digest rows in
+    groups first (t-digests are mergeable, so the tree changes only
+    which approximation order is applied, never the data seen), keeping
+    the driver collect bounded at any scan width. Below the threshold
+    the single-level path runs unchanged — same jobs, same values.
     """
     from pyspark.sql.types import (
         ArrayType, DoubleType, StructField, StructType,
@@ -148,7 +162,30 @@ def column_tdigest(
                 {"means": [m.tolist()], "weights": [w.tolist()]}
             )
 
-    parts = src.mapInPandas(per_partition, schema=schema).collect()
+    digests_df = src.mapInPandas(per_partition, schema=schema)
+    nparts = src.rdd.getNumPartitions()
+    if nparts > 2 * TREE_FANIN:
+
+        def merge_group(it):
+            ms, ws = [], []
+            for pdf in it:
+                for m_, w_ in zip(pdf["means"], pdf["weights"]):
+                    ms.append(np.asarray(m_, dtype=np.float64))
+                    ws.append(np.asarray(w_, dtype=np.float64))
+            if not ms:
+                return
+            m, w = _compress(
+                np.concatenate(ms), np.concatenate(ws), compression
+            )
+            yield pd.DataFrame(
+                {"means": [m.tolist()], "weights": [w.tolist()]}
+            )
+
+        groups = max(1, -(-nparts // TREE_FANIN))
+        digests_df = digests_df.repartition(groups).mapInPandas(
+            merge_group, schema=schema
+        )
+    parts = digests_df.collect()
     digests = [
         TDigest(np.asarray(r["means"]), np.asarray(r["weights"]), compression)
         for r in parts

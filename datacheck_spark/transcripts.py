@@ -472,6 +472,18 @@ def structure_violations(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def structure_summary(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """One-row rollup of :func:`conversation_structure` (total
+    conversations, failing conversations) — the cross-turn half of the
+    flagship suite; ``bench.py`` / ``bench_scaling.py`` fold this into
+    the timed headline job so the measured artifact is the north-rule
+    shape: per-row rules + cross-turn structure verdicts in one run."""
+    return conversation_structure(df, ts_col=ts_col).agg(
+        F.count(F.lit(1)).alias("conversations"),
+        F.sum((~F.col("conv_pass")).cast("long")).alias("failing_convs"),
+    )
+
+
 #: fingerprint field separator / null marker (control chars that the
 #: generator never emits inside a field — and even against adversarial
 #: text, each turn is md5-hashed BEFORE joining, so a separator inside

@@ -57,6 +57,26 @@ def test_column_tdigest_spark(spark):
     assert d.quantile(0.99) == pytest.approx(989.0, abs=15)
 
 
+def test_column_tdigest_tree_merge_many_partitions(spark):
+    """Above 2×TREE_FANIN scan partitions the executor-side pre-merge
+    level kicks in: the driver-side digest list stays O(nparts/FANIN)
+    and the quantiles match the single-level path's accuracy."""
+    from datacheck_spark import tdigest as TD
+
+    df = (
+        spark.range(200_000)
+        .select((F.col("id") % 1000).cast("double").alias("v"))
+        .repartition(300)  # > 2 * TREE_FANIN → tree path
+    )
+    d = TD.column_tdigest(df, "v")
+    assert d.total_weight == pytest.approx(200_000)
+    for q, want in [(0.5, 499.5), (0.99, 989.0)]:
+        assert d.quantile(q) == pytest.approx(want, abs=15)
+    # the pre-merged collect is bounded: ≤ ceil(300/64) = 5 digest rows,
+    # each ≤ ~2×compression centroids
+    assert len(d.means) <= 2 * 100
+
+
 def test_ks_psi_from_digests(spark):
     rs = np.random.RandomState(5)
     same_a = _digest_of(rs.normal(0, 1, 30_000))
