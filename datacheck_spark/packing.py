@@ -131,20 +131,26 @@ def assign_packs(
     for r in totals:
         rows.append((r[_BUCKET], running))
         running += r["__t"] or 0
-    offsets_df = spark.createDataFrame(
-        rows or [(0, 0)], f"{_BUCKET} int, __offset long"
-    )
+    # the offset table is O(buckets) — small enough to inline as a
+    # literal map expression (whole-stage codegen lookup) instead of a
+    # broadcast join: one plan node, no exchange, no driver->executor
+    # RDD scan
+    if rows:
+        offset_map = F.create_map(
+            *[F.lit(x) for bid_off in rows for x in bid_off]
+        )
+    else:
+        offset_map = F.create_map(F.lit(0), F.lit(0))
     w = Window.partitionBy(_BUCKET).orderBy(F.col(order_col).asc())
     local_cum = F.sum(tokens).over(w) - tokens  # tokens BEFORE this row
-    out = (
-        bdf.join(F.broadcast(offsets_df), _BUCKET, "left")
-        .withColumn(
-            "start_offset",
-            F.coalesce(F.col("__offset"), F.lit(0)) + local_cum,
+    out = bdf.withColumn(
+        "start_offset",
+        F.coalesce(
+            offset_map.getItem(F.col(_BUCKET)).cast("long"), F.lit(0)
         )
-        .withColumn(
-            "pack_id", F.floor(F.col("start_offset") / F.lit(budget))
-        )
+        + local_cum,
+    ).withColumn(
+        "pack_id", F.floor(F.col("start_offset") / F.lit(budget))
     )
     return out.select(*df.columns, "start_offset", "pack_id")
 

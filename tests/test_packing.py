@@ -91,13 +91,25 @@ def test_null_order_key_rejected(spark):
 
 def test_no_global_single_partition_window(spark):
     """The plan must not contain a partition-less window (the
-    single-task global-sort trap this module exists to avoid)."""
-    df = _mk(spark, n=100)
+    single-task global-sort trap this module exists to avoid) nor a
+    checkpoint scan: the deterministic range buckets are recomputable
+    from the data, so nothing needs to be pinned (executor loss
+    recomputes the same bucket ids — the r4 localCheckpoint variant
+    could not)."""
+    # range-based input so the only possible RDD scan in the plan would
+    # be one introduced by packing itself (a checkpoint or a
+    # driver-built offset table — both eliminated)
+    df = spark.range(100).selectExpr(
+        "format_string('d%05d', id) AS doc_id", "cast(id % 7 AS int) AS tok"
+    )
     plan = (
         assign_packs(df, "tok", budget=512, num_partitions=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan, plan
+    assert "Checkpoint" not in plan and "ExistingRDD" not in plan, plan
+    # offset lookup is a constant-folded literal map, not a join
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_pack_cli(spark, tmp_path, capsys):

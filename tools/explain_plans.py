@@ -211,6 +211,26 @@ def main():
         ],
     )
 
+    # 8c. conversation-level exact dedup: the row_number bound runs
+    # BEFORE the collect_list (no unbounded agg buffer), and the count
+    # window / rn window / final agg share the conv_fp partitioning
+    from datacheck_spark.transcripts import conversation_duplicates
+    add(
+        "conversation dedup (bounded ids, shared fp exchange)",
+        conversation_duplicates(tr),
+        [
+            (
+                "row_number bound precedes collect_list",
+                lambda p: "row_number" in p.lower()
+                and "collect_list" in p.lower(),
+            ),
+            (
+                "one conv_fp exchange shared by windows + agg",
+                lambda p: p.count("Exchange hashpartitioning(conv_fp") <= 2,
+            ),
+        ],
+    )
+
     # 9. salted two-phase aggregation (skew handling): two agg pairs
     from datacheck_spark.sessions import conversation_stats
     salted = conversation_stats(tr, salt_buckets=8)
