@@ -270,7 +270,9 @@ def get_spark(cpus: str):
 
 def ensure_transcripts(spark, n_convs: int) -> str:
     """Generate the bench transcripts parquet once; reuse across runs."""
-    path = CACHE_DIR / f"transcripts_c{n_convs}.parquet"
+    from datacheck_spark.transcripts import GEN_VERSION
+
+    path = CACHE_DIR / f"transcripts_v{GEN_VERSION}_c{n_convs}.parquet"
     if not path.exists():
         from datacheck_spark.transcripts import generate_transcripts
 

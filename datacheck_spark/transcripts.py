@@ -57,6 +57,12 @@ TOOL_VOCAB = [f"tool_{i}" for i in range(8)]
 #: invalid roles / duplicate rows are what trip it
 _ROLE_CYCLE = ["user", "assistant", "tool", "system"]
 
+#: bump when generate_transcripts' output changes for the same inputs —
+#: cached bench tables are keyed on it so a stale cache can never be
+#: silently reused (v2: role cycle reordered for tool pairing; tool
+#: turns always named)
+GEN_VERSION = 2
+
 
 def _h(*cols, seed: int) -> Column:
     """Seeded 64-bit hash of the given columns; non-negative."""

@@ -18,7 +18,7 @@ import tempfile
 
 sys.path.insert(0, "/root/repo")
 BASE = tempfile.mkdtemp(prefix="incr_drive_")
-TPATH = "/root/repo/.bench_cache/transcripts_c640000.parquet"
+TPATH = "/root/repo/.bench_cache/transcripts_v2_c640000.parquet"
 
 CHILD = f'''
 import os, sys

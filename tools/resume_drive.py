@@ -3,7 +3,7 @@ import json, os, subprocess, sys, tempfile
 
 sys.path.insert(0, "/root/repo")
 BASE = tempfile.mkdtemp(prefix="ckpt_drive_")
-TPATH = "/root/repo/.bench_cache/transcripts_c640000.parquet"
+TPATH = "/root/repo/.bench_cache/transcripts_v2_c640000.parquet"
 
 CHILD = f'''
 import os, sys
