@@ -406,6 +406,56 @@ def call_tool(
             "violations": violations,
         }
 
+    if name == "dedup_conversations":
+        # beyond-reference 19th tool: conversation-LEVEL exact dedup —
+        # groups of conversations whose entire ordered turn content is
+        # identical (fingerprint = md5 over sorted per-turn md5s; ts
+        # excluded so re-logged copies still match)
+        from datacheck_spark.transcripts import (
+            conversation_duplicates,
+            conversation_fingerprint,
+        )
+
+        if args.get("path"):
+            df = spark.read.parquet(args["path"])
+        else:
+            df = _df_from_samples(spark, args.get("samples", []))
+        for required in ("conv_id", "turn_idx"):
+            if required not in df.columns:
+                raise ValueError(
+                    f"dedup_conversations requires a '{required}' column"
+                )
+        from pyspark import StorageLevel
+        from pyspark.sql import functions as F
+
+        max_ids = int(args.get("max_ids", 5))
+        max_rows = int(args.get("max_return_rows", 1000))
+        groups_df = conversation_duplicates(df, max_ids=max_ids).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # one-row rollup over ALL groups (the returned list is capped)
+        tot = groups_df.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.coalesce(F.sum("n_convs"), F.lit(0)).alias("d"),
+        ).first()
+        groups = [
+            r.asDict()
+            for r in groups_df.orderBy(
+                F.col("n_convs").desc(), "conv_fp"
+            ).limit(max_rows).collect()
+        ]
+        groups_df.unpersist()
+        n_convs = conversation_fingerprint(df).count()
+        return {
+            "summary": {
+                "conversations": n_convs,
+                "duplicate_groups": int(tot["g"]),
+                "duplicate_conversations": int(tot["d"]),
+                "removable_conversations": int(tot["d"]) - int(tot["g"]),
+            },
+            "duplicate_groups": groups,
+        }
+
     raise ValueError(f"unknown tool: {name}")
 
 
@@ -420,4 +470,5 @@ TOOLS = [
     "diff_reports",
     # beyond-reference
     "diagnose_skew", "suggest_rules", "check_conversation_structure",
+    "dedup_conversations",
 ]

@@ -386,6 +386,23 @@ def cmd_transcripts(args) -> int:
             ),
         ).collect()[0]
         out["structure"] = row.asDict()
+    if getattr(args, "conv_dedup", False):
+        from pyspark.sql import functions as F
+
+        from datacheck_spark.transcripts import conversation_duplicates
+
+        drow = conversation_duplicates(df).agg(
+            F.count(F.lit(1)).alias("duplicate_groups"),
+            F.coalesce(F.sum("n_convs"), F.lit(0)).alias(
+                "duplicate_conversations"
+            ),
+        ).collect()[0]
+        out["conversation_dedup"] = {
+            "duplicate_groups": int(drow["duplicate_groups"]),
+            "duplicate_conversations": int(
+                drow["duplicate_conversations"]
+            ),
+        }
     print(json.dumps(out, ensure_ascii=False))
     return 0 if report.pass_rate >= args.threshold else 1
 
@@ -826,7 +843,14 @@ def main(argv=None) -> int:
         "--structure",
         action="store_true",
         help="add cross-turn conversation-structure verdicts "
-        "(turn contiguity, role alternation, ts monotonicity)",
+        "(turn contiguity, role alternation, ts monotonicity, "
+        "tool pairing, empty assistant turns)",
+    )
+    t.add_argument(
+        "--conv-dedup",
+        action="store_true",
+        help="add conversation-level exact dedup (groups of "
+        "conversations with identical ordered turn content)",
     )
     t.set_defaults(fn=cmd_transcripts)
 

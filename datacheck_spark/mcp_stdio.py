@@ -55,6 +55,8 @@ _TOOL_DESCRIPTIONS = {
     "list_quality_rules": "List the builtin quality rules with severity and enabled state",
     "batch_check_directory": "Batch-check every data file under a directory (one fused pass)",
     "compare_distributions": "Per-file distribution summaries for N data files (+ field deltas for 2)",
+    "check_conversation_structure": "Cross-turn transcript structure verdicts: turn contiguity, role alternation, ts monotonicity, tool-call pairing, empty assistant turns",
+    "dedup_conversations": "Conversation-level exact dedup: groups whose entire ordered turn content is identical (ts-insensitive fingerprint)",
 }
 
 
@@ -141,6 +143,11 @@ _TOOL_SCHEMAS: Dict[str, Dict[str, Any]] = {
     "check_conversation_structure": {
         "properties": _props(
             path="string", ts_col="string", max_return_rows="integer",
+        ),
+    },
+    "dedup_conversations": {
+        "properties": _props(
+            path="string", max_ids="integer", max_return_rows="integer",
         ),
     },
 }

@@ -42,6 +42,33 @@ def test_fix_tool(spark):
     assert out["fixed_samples"][0]["text"] == "pad"
 
 
+def test_dedup_conversations_tool(spark):
+    """Two conversations with identical ordered turn content form one
+    group; the summary counts all groups even past max_return_rows."""
+    turns = lambda cid, texts: [  # noqa: E731
+        {"conv_id": cid, "turn_idx": i, "role": r, "text": t}
+        for i, (r, t) in enumerate(texts)
+    ]
+    convo = [("user", "hello"), ("assistant", "hi")]
+    out = tool_api.call_tool(
+        spark,
+        "dedup_conversations",
+        {
+            "samples": turns("a", convo)
+            + turns("b", convo)
+            + turns("c", [("user", "hello"), ("assistant", "other")])
+        },
+    )
+    assert out["summary"] == {
+        "conversations": 3,
+        "duplicate_groups": 1,
+        "duplicate_conversations": 2,
+        "removable_conversations": 1,
+    }
+    (g,) = out["duplicate_groups"]
+    assert g["conv_ids"] == "a,b" and g["n_turns"] == 2
+
+
 def test_unknown_tool_raises(spark):
     with pytest.raises(ValueError):
         tool_api.call_tool(spark, "nope", {})

@@ -270,3 +270,22 @@ def test_transcripts_structure_cli(spark, tmp_path, capsys):
     assert s["failing"] >= 1
     assert s["non_contiguous"] >= 1
     assert s["failing"] <= s["conversations"]
+
+
+def test_transcripts_conv_dedup_cli(spark, tmp_path, capsys):
+    """`transcripts --conv-dedup` reports conversation-level exact
+    duplicate groups; the synthetic generator plants none (every
+    conversation's text is cid-seeded), so the honest rollup is 0/0 —
+    planted duplicates are covered by test_transcripts'
+    test_conversation_dedup_planted."""
+    from datacheck_spark.transcripts import generate_transcripts
+
+    data = str(tmp_path / "t.parquet")
+    generate_transcripts(spark, n_convs=60, turns_per_conv=4).write.parquet(
+        data
+    )
+    rc = main(["transcripts", data, "--conv-dedup"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc in (0, 1)
+    d = out["conversation_dedup"]
+    assert d == {"duplicate_groups": 0, "duplicate_conversations": 0}

@@ -146,6 +146,20 @@ def test_every_tool_dispatches(spark, tmp_path):
                 {"conv_id": "c2", "turn_idx": 2, "role": "user"},
             ]
         },
+        "dedup_conversations": {
+            "samples": [
+                {"conv_id": "c1", "turn_idx": 0, "role": "user",
+                 "text": "hello"},
+                {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+                 "text": "hi"},
+                {"conv_id": "c2", "turn_idx": 0, "role": "user",
+                 "text": "hello"},
+                {"conv_id": "c2", "turn_idx": 1, "role": "assistant",
+                 "text": "hi"},
+                {"conv_id": "c3", "turn_idx": 0, "role": "user",
+                 "text": "different"},
+            ]
+        },
         "suggest_rules": {"samples": samples * 4},
         "validate_from_datarecipe": {
             "analysis_dir": str(tmp_path / "analysis")
