@@ -403,6 +403,19 @@ def cmd_transcripts(args) -> int:
                 drow["duplicate_conversations"]
             ),
         }
+    if getattr(args, "daily_verdicts", False):
+        from datacheck_spark.transcripts import per_day_verdicts
+
+        # bounded output: one row per distinct ts day (~10^3 at any
+        # scale); verdict threshold follows --threshold when gating is
+        # requested, else the 0.95 scoreboard default
+        thr = args.threshold if args.threshold > 0 else 0.95
+        out["daily_verdicts"] = [
+            {**r.asDict(), "ts_day": str(r["ts_day"])}
+            for r in per_day_verdicts(
+                checker.annotated(df), threshold=thr
+            ).orderBy("ts_day").collect()
+        ]
     print(json.dumps(out, ensure_ascii=False))
     return 0 if report.pass_rate >= args.threshold else 1
 
@@ -851,6 +864,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="add conversation-level exact dedup (groups of "
         "conversations with identical ordered turn content)",
+    )
+    t.add_argument(
+        "--daily-verdicts",
+        action="store_true",
+        help="add per ts-day pass/fail verdict rows (threshold from "
+        "--threshold when set, else 0.95)",
     )
     t.set_defaults(fn=cmd_transcripts)
 

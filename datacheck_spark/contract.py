@@ -2126,6 +2126,46 @@ def bucket_verdicts_transcripts(spark, sf_dir):
 
 
 @_q(
+    "daily_verdicts_transcripts",
+    f"""
+    WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_GLOB}')),
+    flags AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS ts_day,
+             NOT (conv_id IS NOT NULL AND turn_idx IS NOT NULL)
+             OR NOT (turn_idx IS NULL OR turn_idx >= 0)
+             OR NOT (role IS NOT NULL AND role IN ('user','assistant','system','tool'))
+             OR NOT (text IS NOT NULL
+                     AND length(regexp_replace(text, '^{_WS_RE2}+|{_WS_RE2}+$', '', 'g')) > 0)
+             AS has_error
+      FROM t
+    )
+    SELECT ts_day,
+           count(*)::BIGINT AS total,
+           sum(has_error::INT)::BIGINT AS failed,
+           round((count(*) - sum(has_error::INT))::DOUBLE / count(*), 6) AS pass_rate,
+           ((count(*) - sum(has_error::INT))::DOUBLE / count(*)) >= 0.95 AS passed
+    FROM flags GROUP BY ts_day ORDER BY ts_day
+    """,
+)
+def daily_verdicts_transcripts(spark, sf_dir):
+    """Per ts-day pass/fail verdicts — the north rule's second explicit
+    partitioning dimension ("conv_id hash buckets + ts days"). Keyed by
+    the timezone-independent UTC epoch-day number so the DuckDB oracle
+    compares instants, not session-local dates."""
+    from datacheck_spark.transcripts import (
+        TranscriptChecker,
+        per_day_verdicts,
+    )
+
+    df = transcripts_table(spark)
+    checker = TranscriptChecker(include_repetitive=False)
+    annotated = checker.annotated(df)
+    return per_day_verdicts(
+        annotated, threshold=0.95, utc_day_number=True
+    ).orderBy("ts_day")
+
+
+@_q(
     "conv_structure_transcripts",
     f"""
     WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_GLOB}')),
@@ -2138,7 +2178,7 @@ def bucket_verdicts_transcripts(spark, sf_dir):
       WINDOW w AS (
         PARTITION BY conv_id
         ORDER BY turn_idx ASC NULLS FIRST, role ASC NULLS FIRST,
-                 text ASC NULLS FIRST
+                 ts ASC NULLS FIRST
       )
     ),
     f AS (
@@ -2202,7 +2242,7 @@ def conv_structure_transcripts(spark, sf_dir):
       WINDOW w AS (
         PARTITION BY conv_id
         ORDER BY turn_idx ASC NULLS FIRST, role ASC NULLS FIRST,
-                 text ASC NULLS FIRST
+                 ts ASC NULLS FIRST
       )
     )
     SELECT conv_id, turn_idx, rule_id, observed FROM (

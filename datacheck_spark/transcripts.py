@@ -239,6 +239,42 @@ def per_bucket_verdicts(
     )
 
 
+def per_day_verdicts(
+    annotated: DataFrame,
+    threshold: float = 0.95,
+    ts_col: str = "ts",
+    utc_day_number: bool = False,
+) -> DataFrame:
+    """Per ts-day pass/fail verdicts — the second partitioning
+    dimension the north rule names ("explicit partitioning on conv_id
+    hash buckets + ts days"): one row per calendar day of ``ts_col``
+    with the same totals / pass-rate / threshold verdict as
+    :func:`per_bucket_verdicts`.
+
+    ``utc_day_number=True`` keys days by the UTC epoch-day number
+    (``floor(unix_seconds / 86400)`` as bigint) instead of
+    ``to_date`` — a pure function of the timestamp instant,
+    independent of ``spark.sql.session.timeZone``, which is what the
+    checkpoint manifest and any cross-engine comparison should use.
+    The default DATE key follows the session timezone (the natural
+    reporting surface).
+
+    Same single partial+final aggregation as the bucket verdicts; at
+    10^12 turns with ~10^3 distinct days the combine collapses to one
+    tiny final exchange.
+    """
+    day = (
+        F.floor(F.col(ts_col).cast("long") / F.lit(86400)).cast("long")
+        if utc_day_number
+        else F.to_date(ts_col)
+    )
+    return per_bucket_verdicts(
+        annotated.withColumn("ts_day", day),
+        threshold=threshold,
+        bucket_col="ts_day",
+    )
+
+
 def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Per-conversation structural verdicts over multi-turn transcripts
     (cross-turn rules the per-row fused pass cannot express):
@@ -255,34 +291,46 @@ def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
       defect even where blank user/tool turns might be tolerated)
     - ``conv_pass``: all of the above
 
-    The last two need ``role`` (and ``text``) columns; when absent the
-    flags are trivially true so the output schema is stable.
+    ``no_empty_assistant`` needs the ``text`` column; when absent the
+    flag is trivially true so the output schema is stable.
 
-    Turn order is made stable with (turn_idx, role, text) — the north
-    rule's "stable turn ordering" — so verdicts are deterministic even
-    when keys collide (exact duplicate rows compare equal under any
-    tie order; differing collisions get a total order).
+    Turn order is made stable with (turn_idx, role, ts) — the north
+    rule's "stable turn ordering". This choice makes every verdict a
+    pure function of the row MULTISET, with no payload tie-break
+    needed: rows can only tie on (turn_idx, role), and within such a
+    tie group (a) ``dup``/``gap``/``role_repeat``/``unpaired`` flag
+    counts are invariant under any permutation (all group members
+    share turn_idx and role, and the neighbouring rows are fixed),
+    and (b) ordering the group by ts means no intra-group regression
+    ever, while the group's boundary comparisons use its min/max ts —
+    both order-free. Rows tying on all of (turn_idx, role, ts) have
+    equal ts, so no flag can distinguish their arrangements either.
 
-    Scale: ONE shuffle — the lag window partitions by conv_id and the
-    per-conversation aggregation reuses that hash partitioning (no
-    second exchange; asserted in PLANS.md). Per-group window state is
-    a single previous row, not a buffered conversation, so hot
-    conversations (10^5 turns) stream through. At 10^12 turns this
-    runs per conv_bucket partition exactly like the fused rule pass.
+    Scale: ONE text-free shuffle. The text payload is reduced to the
+    boolean ``__empty`` BEFORE the exchange (round-5 measurement at
+    67M turns: dropping text from the window sort halves the pass,
+    30.6s→15.0s at local[8]), the lag window partitions by conv_id,
+    and the per-conversation aggregation reuses that hash
+    partitioning (no second exchange; asserted in PLANS.md).
+    Per-group window state is a single previous row, not a buffered
+    conversation, so hot conversations (10^5 turns) stream through.
+    At 10^12 turns this runs per conv_bucket partition exactly like
+    the fused rule pass.
     """
-    order_cols = [F.col("turn_idx").asc()]
-    for tie in ("role", "text"):  # stable tie-break; optional columns
-        if tie in df.columns:
-            order_cols.append(F.col(tie).asc())
-    w = Window.partitionBy("conv_id").orderBy(*order_cols)
+    slim = df.select(*_structure_slim_cols(df, ts_col))
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(), F.col("role").asc(), F.col(ts_col).asc()
+    )
     prev_idx = F.lag("turn_idx").over(w)
     prev_role = F.lag("role").over(w)
     prev_ts = F.lag(ts_col).over(w)
     cur_idx, cur_role, cur_ts = (
         F.col("turn_idx"), F.col("role"), F.col(ts_col)
     )
-    unpaired, empty_asst = _tool_empty_conds(df, prev_role)
-    flags = df.select(
+    unpaired = (cur_role == "tool") & ~F.coalesce(
+        prev_role == "assistant", F.lit(False)
+    )
+    flags = slim.select(
         "conv_id",
         "turn_idx",
         (prev_idx.isNotNull() & (cur_idx == prev_idx))
@@ -293,8 +341,9 @@ def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         .cast("int").alias("__role_repeat"),
         (prev_ts.isNotNull() & (cur_ts < prev_ts))
         .cast("int").alias("__ts_regress"),
-        unpaired.cast("int").alias("__unpaired_tool"),
-        empty_asst.cast("int").alias("__empty_asst"),
+        F.coalesce(unpaired, F.lit(False))
+        .cast("int").alias("__unpaired_tool"),
+        F.col("__empty").cast("int").alias("__empty_asst"),
     )
     agg = flags.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
@@ -333,27 +382,31 @@ def conversation_structure(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
-def _tool_empty_conds(df: DataFrame, prev_role: Column):
-    """Violation conditions for the tool-pairing and empty-assistant
-    structure rules, shared by :func:`conversation_structure` and
-    :func:`structure_violations`. Each is FALSE (not null) on rows
-    missing the needed columns so sums/filters treat them as clean."""
-    if "role" not in df.columns:
-        return F.lit(False), F.lit(False)
+def _structure_slim_cols(df: DataFrame, ts_col: str) -> list:
+    """Narrow pre-shuffle projection for the structure passes:
+    ``(conv_id, turn_idx, role, ts, __empty[, __tlen])`` — the text
+    payload is reduced to the empty-assistant boolean (and its length,
+    for violation ``observed`` strings) before the conv_id exchange,
+    so the window sort never ships document bytes."""
     role = F.col("role")
-    unpaired = (
-        (role == "tool")
-        & ~F.coalesce(prev_role == "assistant", F.lit(False))
-    )
     if "text" in df.columns:
-        empty_asst = (role == "assistant") & (
-            F.col("text").isNull() | T.py_blank(F.col("text"))
+        empty = F.coalesce(
+            (role == "assistant")
+            & (F.col("text").isNull() | T.py_blank(F.col("text"))),
+            F.lit(False),
         )
+        tlen = F.length("text")
     else:
-        empty_asst = F.lit(False)
-    return F.coalesce(unpaired, F.lit(False)), F.coalesce(
-        empty_asst, F.lit(False)
-    )
+        empty, tlen = F.lit(False), F.lit(None).cast("int")
+    return [
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        role,
+        F.col(ts_col),
+        empty.alias("__empty"),
+        tlen.alias("__tlen"),
+    ]
+
 
 
 def structure_violations(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -371,15 +424,20 @@ def structure_violations(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     rule anchors at the LATER turn of the offending pair; ``observed``
     records the prev→cur values.
 
-    Same single-shuffle shape as :func:`conversation_structure` — one
-    lag window over (conv_id, stable turn order), then a filter; the
-    output is ∝ violation rate, not input size.
+    Same single text-free shuffle shape as
+    :func:`conversation_structure` — one lag window over (conv_id,
+    stable (turn_idx, role, ts) order) on the narrow pre-shuffle
+    projection, then a filter; the output is ∝ violation rate, not
+    input size. The emitted row multiset is order-deterministic for
+    the same reason the verdicts are (see
+    :func:`conversation_structure`): every ``observed`` string is
+    built from turn_idx/role/ts/text-length, all invariant across
+    (turn_idx, role)-tie arrangements under the ts tie-break.
     """
-    order_cols = [F.col("turn_idx").asc()]
-    for tie in ("role", "text"):
-        if tie in df.columns:
-            order_cols.append(F.col(tie).asc())
-    w = Window.partitionBy("conv_id").orderBy(*order_cols)
+    df = df.select(*_structure_slim_cols(df, ts_col))
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(), F.col("role").asc(), F.col(ts_col).asc()
+    )
     prev_idx = F.lag("turn_idx").over(w)
     prev_role = F.lag("role").over(w)
     prev_ts = F.lag(ts_col).over(w)
@@ -419,32 +477,32 @@ def structure_violations(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             ),
         ),
     ]
-    unpaired, empty_asst = _tool_empty_conds(df, prev_role)
-    if "role" in df.columns:
-        checks.append(
-            (
-                "unpaired_tool_turn",
-                unpaired,
-                F.concat_ws(
-                    "", F.lit("tool turn follows "),
-                    F.coalesce(prev_role, F.lit("start")),
-                ),
-            )
+    unpaired = (cur_role == "tool") & ~F.coalesce(
+        prev_role == "assistant", F.lit(False)
+    )
+    checks.append(
+        (
+            "unpaired_tool_turn",
+            F.coalesce(unpaired, F.lit(False)),
+            F.concat_ws(
+                "", F.lit("tool turn follows "),
+                F.coalesce(prev_role, F.lit("start")),
+            ),
         )
-    if "role" in df.columns and "text" in df.columns:
-        checks.append(
-            (
-                "empty_assistant_turn",
-                empty_asst,
-                F.concat_ws(
-                    "", F.lit("assistant text blank (len "),
-                    F.coalesce(
-                        F.length("text").cast("string"), F.lit("null")
-                    ),
-                    F.lit(")"),
+    )
+    checks.append(
+        (
+            "empty_assistant_turn",
+            F.col("__empty"),
+            F.concat_ws(
+                "", F.lit("assistant text blank (len "),
+                F.coalesce(
+                    F.col("__tlen").cast("string"), F.lit("null")
                 ),
-            )
+                F.lit(")"),
+            ),
         )
+    )
     flagged = df.select(
         "conv_id",
         "turn_idx",

@@ -289,3 +289,27 @@ def test_transcripts_conv_dedup_cli(spark, tmp_path, capsys):
     assert rc in (0, 1)
     d = out["conversation_dedup"]
     assert d == {"duplicate_groups": 0, "duplicate_conversations": 0}
+
+
+def test_transcripts_daily_verdicts_cli(spark, tmp_path, capsys):
+    """`transcripts --daily-verdicts` emits one bounded verdict row per
+    ts day partitioning the turn count exactly (the generator spreads
+    conversations over 30 days)."""
+    from datacheck_spark.transcripts import generate_transcripts
+
+    data = str(tmp_path / "t.parquet")
+    df = generate_transcripts(spark, n_convs=90, turns_per_conv=4)
+    n_turns = df.count()
+    df.write.parquet(data)
+    rc = main(["transcripts", data, "--daily-verdicts"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc in (0, 1)
+    days = out["daily_verdicts"]
+    assert 1 < len(days) <= 30
+    assert sum(r["total"] for r in days) == n_turns
+    assert [r["ts_day"] for r in days] == sorted(
+        r["ts_day"] for r in days
+    )
+    for r in days:
+        assert set(r) == {"ts_day", "total", "failed", "pass_rate", "passed"}
+        assert r["passed"] == (r["pass_rate"] >= 0.95)

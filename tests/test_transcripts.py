@@ -283,13 +283,68 @@ def test_conversation_structure_planted(spark):
         assert not out[bad]["conv_pass"], bad
 
 
-def test_conversation_structure_single_shuffle(spark, transcripts):
-    """The lag window and the per-conversation agg must share ONE
-    exchange on conv_id (the agg reuses the window's partitioning)."""
+def test_conversation_structure_plan_shape(spark, transcripts):
+    """Plan invariants: ONE conv_id exchange shared by the lag window
+    and the per-conversation agg, and the window sort is TEXT-FREE —
+    the text payload is reduced to the __empty boolean before the
+    exchange, so document bytes never ship through the shuffle."""
+    import re
+
     from datacheck_spark.transcripts import conversation_structure
 
-    plan = conversation_structure(transcripts)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        conversation_structure(transcripts)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert plan.count("Exchange hashpartitioning(conv_id") == 1, plan
+    # the stable order is (turn_idx, role, ts) — no text in the sort
+    assert re.search(
+        r"Window \[[^\]]*\], \[conv_id#\d+\], "
+        r"\[turn_idx#\d+ ASC NULLS FIRST, role#\d+ ASC NULLS FIRST, "
+        r"ts#\d+ ASC NULLS FIRST\]",
+        plan,
+    ), plan
+    assert not re.search(r"Sort \[[^\]]*text#", plan), plan
+
+
+def test_conversation_structure_tie_determinism(spark):
+    """Same-(turn_idx, role) rows order by ts — verdicts are a pure
+    function of the row multiset: no false ts_regression inside a tie,
+    while a genuine regression across distinct turn_idx still flags."""
+    import datetime as dt
+
+    from datacheck_spark.transcripts import conversation_structure
+
+    t0 = dt.datetime(2026, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # tie on (0, 'user') with different texts and ts — ordered by
+        # ts, so no regression; dup turn + role repeat still flag
+        ("tie", 0, "user", "b-text", None, t0 + s),
+        ("tie", 0, "user", "a-text", None, t0),
+        ("tie", 1, "assistant", "ok", None, t0 + 2 * s),
+        # genuine regression across distinct turn_idx
+        ("reg", 0, "user", "hi", None, t0 + 9 * s),
+        ("reg", 1, "assistant", "yo", None, t0),
+        # clean conversation
+        ("cln", 0, "user", "hi", None, t0),
+        ("cln", 1, "assistant", "yo", None, t0 + s),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in conversation_structure(df).collect()
+    }
+    tie = got["tie"]
+    assert not tie["contiguous"] and not tie["roles_alternate"]
+    assert tie["ts_monotonic"] and not tie["conv_pass"]
+    assert tie["n_turns"] == 3
+    assert not got["reg"]["ts_monotonic"]
+    assert got["cln"]["conv_pass"] and got["cln"]["n_turns"] == 2
 
 
 def test_conversation_structure_differential_fuzz(spark):
@@ -321,11 +376,25 @@ def test_conversation_structure_differential_fuzz(spark):
             for i in idxs
         ]
         if rng.random() < 0.3:
-            # duplicate-key rows are EXACT copies (as the generator's
-            # planted dups are): a same-key row with independently
-            # random attributes would make the tie order — and thus
-            # the flags — ambiguous in any engine
-            conv_rows.append(rng.choice(conv_rows))
+            # duplicate-key rows: verdicts under the (turn_idx, role,
+            # ts) order are multiset-deterministic even when same-key
+            # rows DIFFER (the invariance argument in
+            # conversation_structure's docstring) — so plant both
+            # exact copies and same-key rows with re-randomized
+            # text/ts and let the model's arbitrary tie arrangement
+            # meet Spark's
+            src = rng.choice(conv_rows)
+            if rng.random() < 0.5:
+                conv_rows.append(src)
+            else:
+                conv_rows.append((
+                    src[0], src[1], src[2],
+                    f"alt {rng.randint(0, 3)}" if rng.random() > 0.2
+                    else None,
+                    None,
+                    t0 + dt.timedelta(seconds=rng.randint(0, 50))
+                    if rng.random() > 0.2 else None,
+                ))
         rows.extend(conv_rows)
     rng.shuffle(rows)  # input order must not matter
     df = spark.createDataFrame(
@@ -337,8 +406,12 @@ def test_conversation_structure_differential_fuzz(spark):
 
     # pure-Python model (same stable order + SQL three-valued logic)
     def _key(r):
-        # NULLS FIRST for role/text, matching Spark ASC
-        return (r[1], r[2] is not None, r[2] or "", r[3] is not None, r[3] or "")
+        # NULLS FIRST for role/ts, matching Spark ASC
+        return (
+            r[1],
+            r[2] is not None, r[2] or "",
+            r[5] is not None, r[5] or dt.datetime.min,
+        )
 
     by_conv = {}
     for r in rows:
@@ -472,3 +545,47 @@ def test_conversation_dedup_planted(spark):
     assert g["n_convs"] == 3 and g["n_turns"] == 3
     assert g["conv_ids"] == "a,b"  # bounded at max_ids, conv_id order
     assert g["conv_fp"] == fps["a"]
+
+
+def test_per_day_verdicts_planted(spark):
+    """Per ts-day verdicts: day buckets partition the rows exactly and
+    the threshold verdict flips on the planted bad day; the
+    utc_day_number key equals floor(epoch/86400) regardless of
+    session timezone semantics."""
+    import datetime as dt
+
+    from datacheck_spark.engine import HAS_ERROR
+    from datacheck_spark.transcripts import per_day_verdicts
+
+    d0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    day = dt.timedelta(days=1)
+    rows = []
+    # day 0: 4 clean rows; day 1: 2 clean + 2 failing (pass_rate 0.5)
+    for i in range(4):
+        rows.append(("c%d" % i, 0, d0, False))
+    for i in range(4):
+        rows.append(("d%d" % i, 0, d0 + day, i >= 2))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, err boolean"
+    ).withColumnRenamed("err", HAS_ERROR)
+
+    out = {
+        r["ts_day"]: r
+        for r in per_day_verdicts(df, threshold=0.95).collect()
+    }
+    assert len(out) == 2
+    assert sum(r["total"] for r in out.values()) == 8
+    d0_key = dt.date(2026, 1, 1)
+    assert out[d0_key]["passed"] and out[d0_key]["failed"] == 0
+    bad = out[d0_key + day]
+    assert not bad["passed"] and bad["failed"] == 2 and bad["pass_rate"] == 0.5
+
+    # epoch-day variant: bigint keys, same totals
+    num = {
+        r["ts_day"]: r["total"]
+        for r in per_day_verdicts(
+            df, threshold=0.95, utc_day_number=True
+        ).collect()
+    }
+    epoch_day = int(d0.replace(tzinfo=dt.timezone.utc).timestamp() // 86400)
+    assert num == {epoch_day: 4, epoch_day + 1: 4}

@@ -196,18 +196,30 @@ def main():
         ],
     )
 
-    # 8b. conversation-structure verdicts: the lag window and the
-    # per-conversation agg share ONE hash exchange on conv_id
+    # 8b. conversation-structure verdicts: ONE text-free hash exchange
+    # on conv_id shared by the lag window and the per-conversation agg
+    # (text reduces to the __empty boolean before the shuffle; ties
+    # order by ts, so no payload tie-break is needed)
+    import re as _re
+
     from datacheck_spark.transcripts import conversation_structure
     add(
-        "conversation structure (window + agg, one exchange)",
+        "conversation structure (window + agg, text-free exchange)",
         conversation_structure(tr),
         [
             (
                 "agg reuses the window's conv_id partitioning",
-                lambda p: p.count("Exchange hashpartitioning(conv_id") <= 2,
+                lambda p: p.count("Exchange hashpartitioning(conv_id") == 1,
             ),
-            ("lag window present", lambda p: "lag(" in p.lower()),
+            (
+                "window sort is text-free (turn_idx, role, ts)",
+                lambda p: bool(_re.search(
+                    r"Window \[[^\]]*\], \[conv_id#\d+\], "
+                    r"\[turn_idx#\d+ ASC NULLS FIRST, "
+                    r"role#\d+ ASC NULLS FIRST, "
+                    r"ts#\d+ ASC NULLS FIRST\]", p))
+                and not _re.search(r"Sort \[[^\]]*text#", p),
+            ),
         ],
     )
 
