@@ -286,24 +286,52 @@ def ensure_transcripts(spark, n_convs: int) -> str:
     return str(path)
 
 
+#: post-AQE shuffle-partition target for the windowed suite: size by
+#: DATA, not cores — 8 tasks/core pre-coalesce with a 16MB advisory
+#: gives the window sort cache-sized chunks and even waves (measured
+#: at 67M turns, local[32]: suite 76.4s→60.8s; the same policy a real
+#: cluster uses — partitions ∝ bytes, AQE coalesces the tail)
+SUITE_SHUFFLE_CONF = {
+    "spark.sql.shuffle.partitions": lambda cores: str(cores * 8),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": lambda cores: "16m",
+}
+
+
 def run_transcript_suite(spark, path: str) -> dict:
     """The headline job: full transcript validation over the parquet —
     per-row fused rules + uniqueness + referential + anomaly
     (TranscriptChecker) AND the cross-turn conversation-structure
     verdicts, timed as ONE wall (the north-rule shape: per-row and
-    cross-turn rules in a single run)."""
+    cross-turn rules in a single run). The data-sized shuffle conf is
+    scoped to this job (runtime-set, restored after) so the secondary
+    queries keep the session defaults."""
     from datacheck_spark.transcripts import (
         TranscriptChecker,
         structure_summary,
     )
 
-    df = spark.read.parquet(path)
-    checker = TranscriptChecker()
-    t0 = time.time()
-    report = checker.run(df, detect_anomalies=True)
-    t1 = time.time()
-    srow = structure_summary(df).first()
-    wall = time.time() - t0
+    cores = spark.sparkContext.defaultParallelism
+    saved = {}
+    for k, mk in SUITE_SHUFFLE_CONF.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, mk(cores))
+    try:
+        df = spark.read.parquet(path)
+        checker = TranscriptChecker()
+        t0 = time.time()
+        report = checker.run(df, detect_anomalies=True)
+        t1 = time.time()
+        srow = structure_summary(df).first()
+        wall = time.time() - t0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return {
         "wall_sec": wall,
         "turns": report.total_turns,

@@ -22,8 +22,8 @@ RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, {root!r})
 from pyspark.sql import SparkSession
-from datacheck_spark.transcripts import TranscriptChecker, structure_summary
-from bench import InterferenceProbe, OTHER_CPU_FRAC, calibration_sample
+from bench import (InterferenceProbe, OTHER_CPU_FRAC, calibration_sample,
+                   run_transcript_suite)
 
 cpus = int(sys.argv[1]); path = sys.argv[2]; runs = int(sys.argv[3])
 calibration_sample()  # seed the fixed-work baseline (see bench.py)
@@ -31,19 +31,18 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .appName(f"scaling-{{cpus}}")
          .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
          .config("spark.sql.adaptive.enabled", "true")
+         # run_transcript_suite applies bench.SUITE_SHUFFLE_CONF at
+         # runtime (data-sized partitions for the windowed suite)
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "16g")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-df = spark.read.parquet(path)
-n = df.count()
-checker = TranscriptChecker()
-# the timed job is the SAME shape bench.py times: per-row fused rules
-# + cross-turn structure verdicts in one run
+n = spark.read.parquet(path).count()
+# the timed job IS bench.py's headline job (per-row fused rules +
+# cross-turn structure verdicts in one run, data-sized shuffle conf)
 def suite():
-    checker.run(df)
-    structure_summary(df).first()
+    run_transcript_suite(spark, path)
 suite()  # warm-up (JIT, code cache, page cache)
 # interference-hardened timing (see bench.py): windows where external
 # processes burned > OTHER_CPU_FRAC of host CPU are discarded and
