@@ -207,18 +207,22 @@ def main():
         "conversation structure (window + agg, text-free exchange)",
         conversation_structure(tr),
         [
+            # formatted mode puts the partitioning on an Arguments:
+            # line, not inline after "Exchange" — count nodes and the
+            # conv_id hash separately
             (
                 "agg reuses the window's conv_id partitioning",
-                lambda p: p.count("Exchange hashpartitioning(conv_id") == 1,
+                lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 1
+                and p.count("hashpartitioning(conv_id") == 1,
             ),
             (
                 "window sort is text-free (turn_idx, role, ts)",
                 lambda p: bool(_re.search(
-                    r"Window \[[^\]]*\], \[conv_id#\d+\], "
+                    r"\], \[conv_id#\d+\], "
                     r"\[turn_idx#\d+ ASC NULLS FIRST, "
                     r"role#\d+ ASC NULLS FIRST, "
                     r"ts#\d+ ASC NULLS FIRST\]", p))
-                and not _re.search(r"Sort \[[^\]]*text#", p),
+                and not _re.search(r"text#\d+ ASC", p),
             ),
         ],
     )
