@@ -41,7 +41,7 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
-# Golden-value oracles: four queries are deterministic (seeded
+# Golden-value oracles: six queries are deterministic (seeded
 # xxhash64 signatures, committed media bytes, fixed k-means seed) but
 # not re-expressible in DuckDB SQL. Their expected outputs are
 # committed as single-file parquet under .contract_cache/golden/
@@ -59,6 +59,7 @@ GOLDEN_QUERIES = (
     "ivf_topk_embeddings",
     "media_features",
     "media_resize",
+    "video_frames_media",
 )
 
 
@@ -1007,12 +1008,14 @@ def ivf_topk_embeddings(spark, sf_dir):
 
 @_q("media_features", _golden("media_features"))
 def media_features(spark, sf_dir):
-    """Multimodal: synthetic media table with REAL PNG/BMP/WAV payloads
-    → Arrow-batched mapInPandas decode + feature extraction (stdlib
-    codecs; Pillow optional; video rows via the declared stub path).
-    Rows-only (binary payloads aren't DuckDB-queryable), but decode
-    correctness is round-trip-proven in tests/test_codecs.py and
-    metadata-vs-decoded consistency in tests/test_pipeline_ops.py."""
+    """Multimodal: synthetic media table with REAL PNG/BMP/JPEG/WAV/
+    AVI-MJPEG payloads → Arrow-batched mapInPandas decode + feature
+    extraction (pure stdlib+numpy codecs incl. the full baseline JPEG
+    decoder; Pillow optional; only unknown containers take the
+    declared stub path). Golden-checked (binary payloads aren't
+    DuckDB-queryable); decode correctness is round-trip-proven in
+    tests/test_codecs.py and metadata-vs-decoded consistency in
+    tests/test_pipeline_ops.py."""
     from datacheck_spark.multimodal import extract_media_features, synthetic_media
 
     media = synthetic_media(spark, n=200)
@@ -1040,6 +1043,21 @@ def media_resize(spark, sf_dir):
             F.xxhash64("payload").alias("payload_hash"),
         )
         .orderBy("media_id")
+    )
+
+
+@_q("video_frames_media", _golden("video_frames_media"))
+def video_frames_media(spark, sf_dir):
+    """Executed video frame sampling (training-pipeline op): one frame
+    per second of stream time from each AVI payload, each sampled
+    MJPEG frame FULLY pixel-decoded through the pure baseline JPEG
+    codec (reference has no media handling; decoder round-trip-proven
+    in tests/test_codecs.py::TestJpegFullCodec)."""
+    from datacheck_spark.multimodal import sample_video_frames, synthetic_media
+
+    media = synthetic_media(spark, n=200)
+    return sample_video_frames(media, every_ms=1000).orderBy(
+        "media_id", "frame_idx"
     )
 
 

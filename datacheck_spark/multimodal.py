@@ -4,15 +4,16 @@ Training-data pipeline op (task brief): images/audio/video travel as
 ``binary`` columns with a metadata struct; decode / feature-extraction
 / resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages.
 
-Decode is REAL for PNG / BMP (stdlib+numpy pixel decode), JPEG
-(header dimensions; full pixels via the optional Pillow path), WAV
-(stdlib PCM decode), and AVI containers (RIFF avih header: dims,
-frame count, fps, duration, PLUS the first MJPEG frame's SOF dims for
-the frame-vs-header consistency rule — frame PIXELS still need a DCT
-codec, so AVI rows report ``decode_status='header'``) — see
-``datacheck_spark.codecs``. Only truly unknown containers fall back
-to the clearly-marked deterministic stub so the plumbing stays
-exercisable; each row reports its ``decode_status``
+Decode is REAL for PNG / BMP / JPEG (stdlib+numpy pixel decode — JPEG
+through the pure baseline codec in ``datacheck_spark.codecs``; Pillow
+is an optional fast path), WAV (stdlib PCM decode), and AVI
+containers (RIFF avih header: dims, frame count, fps, duration, PLUS
+full pixel decode of MJPEG frames — ``sample_video_frames`` is the
+executed frame-sampling kernel). Rows whose payload only reaches
+header level (progressive JPEG, non-MJPEG frame codecs) report
+``decode_status='header'`` honestly; only truly unknown containers
+fall back to the clearly-marked deterministic stub so the plumbing
+stays exercisable. Each row reports its ``decode_status``
 (``ok`` / ``header`` / ``stub`` / ``error``).
 """
 
@@ -114,7 +115,7 @@ def _decode_one(payload: Optional[bytes]) -> dict:
         elif fmt == "bmp":
             d = codecs.decode_bmp(data)
         elif fmt == "jpeg":
-            d = codecs.decode_jpeg_header(data)
+            d = codecs.decode_jpeg(data)
         elif fmt == "avi":
             v = codecs.decode_avi_header(data)
             out.update(
@@ -125,10 +126,21 @@ def _decode_one(payload: Optional[bytes]) -> dict:
                 frame_height=v.get("frame_height"),
                 n_channels=v.get("frame_channels"),
                 duration_ms_decoded=v["duration_ms"],
-                # container header + MJPEG first-frame SOF parsed for
-                # real; frame pixels still need a DCT codec -> header
                 decode_status="header",
             )
+            # MJPEG first frame: FULL pixel decode through the baseline
+            # JPEG codec; non-MJPEG / scan-less frames stay at 'header'
+            ff = v.get("first_frame")
+            if ff and codecs.sniff_format(ff) == "jpeg":
+                try:
+                    fd = codecs.decode_jpeg(ff)
+                except ValueError:
+                    fd = None
+                if fd is not None and fd.get("pixels") is not None:
+                    out["decode_status"] = "ok"
+                    out["mean_value"] = float(
+                        np.asarray(fd["pixels"], dtype=np.float64).mean()
+                    )
             return out
         elif fmt == "wav":
             w = codecs.decode_wav(data)
@@ -218,14 +230,13 @@ def _nn_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
 def resize_images(
     df: DataFrame, width: int, height: int
 ) -> DataFrame:
-    """Resize image payloads to ``width``×``height`` — REAL for the
-    formats with a real pixel decode (PNG, 24-bpp BMP; JPEG via the
-    optional Pillow path inside ``decode_png``'s Pillow fallback is
-    not attempted here): decode → vectorized nearest-neighbor index
-    resize → re-encode PNG. Arrow-batched ``mapInPandas``; rows whose
-    format has no pixel decode pass through with
-    ``resize_status='unsupported'`` and a null payload rather than a
-    fake image, so downstream counts stay honest.
+    """Resize image payloads to ``width``×``height`` — REAL for every
+    format with a real pixel decode (PNG, 24-bpp BMP, baseline JPEG):
+    decode → vectorized nearest-neighbor index resize → re-encode PNG.
+    Arrow-batched ``mapInPandas``; rows whose format has no pixel
+    decode pass through with ``resize_status='unsupported'`` and a
+    null payload rather than a fake image, so downstream counts stay
+    honest.
     """
 
     def _resize_one(payload: Optional[bytes]) -> tuple:
@@ -236,6 +247,8 @@ def resize_images(
                 d = codecs.decode_png(data)
             elif fmt == "bmp":
                 d = codecs.decode_bmp(data)
+            elif fmt == "jpeg":
+                d = codecs.decode_jpeg(data)
             else:
                 return ("unsupported", None, None, None)
             px = d.get("pixels")
@@ -286,6 +299,83 @@ def frame_sample_plan(
                 )
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", IntegerType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("mean_value", DoubleType(), True),
+        StructField("decode_status", StringType(), False),
+    ]
+)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Executed frame sampling: for each AVI payload, walk the 'movi'
+    chunk list, pick one frame every ``every_ms`` of stream time, and
+    FULLY decode each sampled MJPEG frame to pixels through the
+    baseline JPEG codec (``frame_sample_plan`` is the Catalyst-side
+    planning twin — this is the kernel that runs it). Arrow-batched
+    ``mapInPandas``; per-payload decode is inherently per-row work.
+    Non-AVI payloads yield no rows; frames whose codec can't decode to
+    pixels are still emitted with ``decode_status='header'``/'error'
+    so sampled-frame counts stay auditable."""
+
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+
+    def _frames_one(media_id: str, payload: Optional[bytes]) -> list:
+        data = payload or b""
+        if codecs.sniff_format(data) != "avi":
+            return []
+        try:
+            hdr = codecs.decode_avi_header(data)
+            frames = codecs.avi_video_frames(data)
+        except ValueError:
+            return []
+        fps = hdr["fps"] or 25.0
+        step = max(1, int(round(every_ms * fps / 1000.0)))
+        rows = []
+        for idx in range(0, len(frames), step):
+            ts = int(round(idx * 1000.0 / fps))
+            fb = frames[idx]
+            w = h = nc = None
+            mean = None
+            status = "header"
+            try:
+                if codecs.sniff_format(fb) == "jpeg":
+                    fd = codecs.decode_jpeg(fb)
+                    w, h, nc = fd["width"], fd["height"], fd["channels"]
+                    if fd["pixels"] is not None:
+                        status = "ok"
+                        mean = float(
+                            np.asarray(fd["pixels"], np.float64).mean()
+                        )
+            except ValueError:
+                status = "error"
+            rows.append((media_id, idx, ts, w, h, nc, mean, status))
+        return rows
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows.extend(_frames_one(mid, payload))
+            out = pd.DataFrame(rows, columns=cols)
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out["frame_ts_ms"] = out["frame_ts_ms"].astype("int32")
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            out["n_channels"] = pd.array(out["n_channels"], dtype="Int32")
+            yield out
+
+    return df.where(F.col("kind") == "video").mapInPandas(
+        do, schema=FRAME_SCHEMA
     )
 
 
@@ -398,11 +488,13 @@ def metadata_consistency_rules(features: DataFrame):
 
 
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table with REAL payloads: PNG and
-    BMP images (gradient pixels, true dims in metadata), WAV audio
-    (int16 PCM, true duration in metadata), and video rows carrying
-    container-less bytes (the declared stub path). Per-row encoding
-    runs distributed inside mapInPandas — no driver-side row loop."""
+    """Deterministic synthetic media table with REAL payloads: PNG,
+    BMP and baseline-JPEG images (gradient pixels, true dims in
+    metadata), WAV audio (int16 PCM, true duration in metadata), and
+    AVI video whose MJPEG frames are REAL encoded JPEGs (fully
+    decodable); every ninth video row keeps a container-less payload
+    to exercise the declared stub path. Per-row encoding runs
+    distributed inside mapInPandas — no driver-side row loop."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -422,6 +514,11 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                     px = np.repeat(px[:, :, None], 3, axis=2)
                     if i % 6 == 0:
                         payload, mime = codecs.encode_png(px), "image/png"
+                    elif i % 6 == 3:
+                        payload, mime = (
+                            codecs.encode_jpeg(px, quality=92),
+                            "image/jpeg",
+                        )
                     else:
                         payload, mime = codecs.encode_bmp(px), "image/bmp"
                     rows.append(
@@ -448,11 +545,11 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                         )
                     )
                 else:
-                    # video: most rows are real AVI containers (header
-                    # metadata parseable with the stdlib codec; frame
-                    # decode still needs an external codec); every
-                    # third video row keeps an unknown-container
-                    # payload to exercise the declared stub path
+                    # video: most rows are real AVI containers whose
+                    # MJPEG frames are REAL encoded JPEGs (full pixel
+                    # decode); every ninth row keeps an
+                    # unknown-container payload to exercise the
+                    # declared stub path
                     if i % 9 == 2:
                         payload, mime = rng.bytes(256), "video/unknown"
                         w = h = None
@@ -462,13 +559,20 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                         w = 16 + int(rng.integers(0, 16)) * 2
                         h = 16 + int(rng.integers(0, 16)) * 2
                         n_frames = 25 + int(rng.integers(0, 250))
-                        # frames carry a structurally parseable MJPEG
-                        # header (SOI+SOF0 with the true dims) so the
+                        # frames are REAL baseline JPEGs at the true
+                        # dims (encoded once, repeated per frame), so
+                        # frame sampling decodes actual pixels and the
                         # first-frame consistency check has real input
+                        fpx = (
+                            np.add.outer(
+                                np.arange(h) * 7, np.arange(w) * 11
+                            ) % 256
+                        ).astype(np.uint8)
                         payload = codecs.encode_avi(
                             w, h, n_frames, fps=fps,
-                            frame_payload=codecs.encode_jpeg_header_stub(
-                                w, h
+                            frame_payload=codecs.encode_jpeg(
+                                np.repeat(fpx[:, :, None], 3, axis=2),
+                                quality=88,
                             ),
                         )
                         mime = "video/avi"

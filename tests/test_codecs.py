@@ -177,9 +177,12 @@ def test_resize_images_real_pixels(spark):
     rng = np.random.default_rng(7)
     px_png = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
     px_bmp = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    px_jpg = _gradient_rgb(18, 26)
+    jpg_bytes = codecs.encode_jpeg(px_jpg, quality=92)
     rows = [
         ("png1", "image", bytearray(encode_png(px_png))),
         ("bmp1", "image", bytearray(encode_bmp(px_bmp))),
+        ("jpg1", "image", bytearray(jpg_bytes)),
         ("junk", "image", bytearray(b"\x00\x01nonsense")),
     ]
     df = spark.createDataFrame(
@@ -198,6 +201,13 @@ def test_resize_images_real_pixels(spark):
         got = decode_png(bytes(r["payload"]))["pixels"]
         assert got.shape == (12, 16, 3)
         assert np.array_equal(got, _nn_resize(src, 16, 12))
+    # JPEG is lossy: resize output must equal the nn-resize of the
+    # DECODED jpeg pixels exactly
+    r = out["jpg1"]
+    assert r["resize_status"] == "ok"
+    got = decode_png(bytes(r["payload"]))["pixels"]
+    expect = _nn_resize(codecs.decode_jpeg(jpg_bytes)["pixels"], 16, 12)
+    assert np.array_equal(got, expect)
 
 
 def test_avi_mjpeg_first_frame_dims():
@@ -239,3 +249,171 @@ def test_jpeg_header_stub_parses_as_jpeg():
     assert sniff_format(data) == "jpeg"
     d = decode_jpeg_header(data)
     assert (d["width"], d["height"], d["channels"]) == (17, 9, 1)
+
+
+# --- full baseline JPEG codec ------------------------------------------------
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = ((a - b) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _gradient_rgb(h: int, w: int) -> np.ndarray:
+    gx = np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 256
+    return np.stack([gx, (gx + 40) % 256, (255 - gx)], axis=-1).astype(
+        np.uint8
+    )
+
+
+def _strip_segments(data: bytes, markers: set) -> bytes:
+    """Remove whole marker segments (e.g. DHT) from a JPEG stream."""
+    out = bytearray(data[:2])
+    pos = 2
+    while pos + 2 <= len(data):
+        assert data[pos] == 0xFF
+        m = data[pos + 1]
+        if m == 0xD9:
+            out += data[pos : pos + 2]
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if m not in markers:
+            out += data[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+        if m == 0xDA:
+            out += data[pos:]  # entropy-coded scan to EOI
+            break
+    return bytes(out)
+
+
+class TestJpegFullCodec:
+    def test_dct_basis_orthonormal(self):
+        m = codecs._DCT_M
+        assert np.allclose(m @ m.T, np.eye(8), atol=1e-12)
+
+    def test_zigzag_is_spec_order(self):
+        zz = codecs._JPEG_ZZ
+        assert sorted(zz.tolist()) == list(range(64))
+        # first diagonal entries of T.81 Figure A.6
+        assert zz[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+    def test_standard_huffman_tables_complete(self):
+        for bits, vals in (codecs._HUFF_AC_LUM, codecs._HUFF_AC_CHR):
+            assert sum(bits) == len(vals) == 162
+        for bits, vals in (codecs._HUFF_DC_LUM, codecs._HUFF_DC_CHR):
+            assert sum(bits) == len(vals) == 12
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    @pytest.mark.parametrize("ri", [0, 3])
+    def test_rgb_roundtrip(self, sub, ri):
+        if codecs._PIL:
+            pytest.skip("round-trip targets the pure decoder")
+        px = _gradient_rgb(29, 37)  # non-multiple-of-8 dims
+        enc = codecs.encode_jpeg(
+            px, quality=92, subsampling=sub, restart_interval=ri
+        )
+        d = codecs.decode_jpeg(enc)
+        assert (d["width"], d["height"], d["channels"]) == (37, 29, 3)
+        assert d["pixels"].dtype == np.uint8
+        assert d["pixels"].shape == (29, 37, 3)
+        # luma-exact content is chroma-noisy under 420; bound both
+        assert _psnr(px, d["pixels"]) > (35 if sub == "444" else 24)
+
+    def test_gray_roundtrip(self):
+        if codecs._PIL:
+            pytest.skip("round-trip targets the pure decoder")
+        g = (np.add.outer(np.arange(31) * 3, np.arange(22) * 5) % 256).astype(
+            np.uint8
+        )
+        d = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=90))
+        assert d["channels"] == 1
+        assert d["pixels"].shape == (31, 22)
+        assert _psnr(g, d["pixels"]) > 45
+
+    def test_solid_color_near_exact(self):
+        """A solid block has only a DC coefficient — quantization error
+        is bounded by one code step, a semi-analytic correctness check."""
+        if codecs._PIL:
+            pytest.skip("round-trip targets the pure decoder")
+        solid = np.full((24, 24, 3), (90, 160, 40), dtype=np.uint8)
+        d = codecs.decode_jpeg(codecs.encode_jpeg(solid, quality=95))
+        err = np.abs(d["pixels"].astype(int) - solid.astype(int)).max()
+        assert err <= 2
+
+    def test_restart_marker_stream_structure(self):
+        """restart_interval emits DRI and cycling RST0-7 markers the
+        decoder resynchronizes on (verified by the ri round-trips);
+        here also check the markers are really in the stream."""
+        px = _gradient_rgb(32, 48)
+        enc = codecs.encode_jpeg(px, quality=80, restart_interval=2)
+        assert b"\xff\xdd" in enc  # DRI
+        assert any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))
+
+    def test_mjpeg_omitted_tables_use_standard(self):
+        """MJPEG convention: frames carry no DHT — the decoder installs
+        the Annex K standard tables and must decode bit-identically to
+        the stream that declares the same tables explicitly."""
+        if codecs._PIL:
+            pytest.skip("round-trip targets the pure decoder")
+        px = _gradient_rgb(24, 32)
+        enc = codecs.encode_jpeg(px, quality=90)
+        stripped = _strip_segments(enc, {0xC4})
+        assert len(stripped) < len(enc)
+        d0 = codecs.decode_jpeg(enc)
+        d1 = codecs.decode_jpeg(stripped)
+        assert np.array_equal(d0["pixels"], d1["pixels"])
+
+    def test_progressive_falls_back_to_header(self):
+        if codecs._PIL:
+            pytest.skip("Pillow decodes progressive streams")
+        enc = bytearray(codecs.encode_jpeg(_gradient_rgb(16, 16)))
+        i = enc.find(b"\xff\xc0")
+        enc[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        d = codecs.decode_jpeg(bytes(enc))
+        assert d["pixels"] is None
+        assert (d["width"], d["height"], d["channels"]) == (16, 16, 3)
+
+    def test_header_stub_decodes_header_only(self):
+        if codecs._PIL:
+            pytest.skip("stub has no scan for Pillow either")
+        d = codecs.decode_jpeg(codecs.encode_jpeg_header_stub(64, 32))
+        assert d["pixels"] is None
+        assert (d["width"], d["height"]) == (64, 32)
+
+    def test_truncated_scan_degrades_not_crashes(self):
+        if codecs._PIL:
+            pytest.skip("round-trip targets the pure decoder")
+        enc = codecs.encode_jpeg(_gradient_rgb(24, 32), quality=90)
+        sos = enc.find(b"\xff\xda")
+        cut = enc[: sos + (len(enc) - sos) // 2]
+        d = codecs.decode_jpeg(cut)  # zero-fed tail, no exception
+        assert d["pixels"] is not None and d["pixels"].shape == (24, 32, 3)
+
+    def test_corrupt_header_raises_value_error(self):
+        enc = codecs.encode_jpeg(_gradient_rgb(16, 16))
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(enc[:40])  # truncated mid-segment
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(b"not a jpeg at all")
+
+
+class TestAviFrameExtraction:
+    def test_video_frames_walk_and_decode(self):
+        if codecs._PIL:
+            pytest.skip("round-trip targets the pure decoder")
+        px = _gradient_rgb(24, 32)
+        frame = codecs.encode_jpeg(px, quality=88)
+        avi = codecs.encode_avi(32, 24, n_frames=7, fps=25,
+                                frame_payload=frame)
+        frames = codecs.avi_video_frames(avi)
+        assert len(frames) == 7
+        assert all(f == frame for f in frames)
+        d = codecs.decode_jpeg(frames[0])
+        assert (d["width"], d["height"]) == (32, 24)
+        assert _psnr(px, d["pixels"]) > 30
+
+    def test_rejects_non_avi(self):
+        with pytest.raises(ValueError):
+            codecs.avi_video_frames(b"garbage")

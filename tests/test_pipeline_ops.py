@@ -124,7 +124,7 @@ class TestMultimodal:
             if m["kind"] == "image":
                 # REAL pixel decode: dims must equal the true encoded dims
                 assert r["decode_status"] == "ok"
-                assert r["format"] in ("png", "bmp")
+                assert r["format"] in ("png", "bmp", "jpeg")
                 assert r["decoded_width"] == m["width"]
                 assert r["decoded_height"] == m["height"]
                 assert r["mean_value"] is not None and 0 <= r["mean_value"] <= 255
@@ -135,12 +135,14 @@ class TestMultimodal:
                 assert abs(r["duration_ms_decoded"] - m["duration_ms"]) <= 1
                 assert r["mean_value"] > 0  # |sine| mean
             elif m["mime"] == "video/avi":
-                # REAL RIFF container parse: header dims + duration
-                assert r["decode_status"] == "header"
+                # REAL RIFF container parse + FULL first-MJPEG-frame
+                # pixel decode through the baseline JPEG codec
+                assert r["decode_status"] == "ok"
                 assert r["format"] == "avi"
                 assert r["decoded_width"] == m["width"]
                 assert r["decoded_height"] == m["height"]
                 assert r["duration_ms_decoded"] == m["duration_ms"]
+                assert r["mean_value"] is not None and 0 <= r["mean_value"] <= 255
             else:  # unknown-container video: declared stub path
                 assert r["decode_status"] == "stub"
 
@@ -168,6 +170,36 @@ class TestMultimodal:
         for v in videos:
             expected = (v["duration_ms"] - 1) // 1000 + 1
             assert by_id[v["media_id"]] == expected
+
+    def test_sample_video_frames_decodes_pixels(self, spark):
+        """The executed frame-sampling kernel: sampled MJPEG frames in
+        AVI fixtures decode to REAL pixels (dims match the container,
+        mean in range); unknown-container video rows yield no frames."""
+        df = MM.synthetic_media(spark, n=30).cache()
+        frames = MM.sample_video_frames(df, every_ms=1000)
+        rows = frames.collect()
+        meta = {
+            r["media_id"]: r
+            for r in df.where(F.col("kind") == "video").collect()
+        }
+        avi_ids = {m for m, r in meta.items() if r["mime"] == "video/avi"}
+        got_ids = {r["media_id"] for r in rows}
+        assert got_ids == avi_ids  # unknown containers produce no rows
+        for r in rows:
+            m = meta[r["media_id"]]
+            assert r["decode_status"] == "ok"
+            assert (r["width"], r["height"]) == (m["width"], m["height"])
+            assert r["n_channels"] == 3
+            assert r["mean_value"] is not None and 0 <= r["mean_value"] <= 255
+            assert r["frame_ts_ms"] == r["frame_idx"] * 40  # 25 fps
+        # one frame per second of stream time (25 fps fixtures -> step 25)
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+        for mid, idxs in by_id.items():
+            n_frames = (meta[mid]["duration_ms"] * 25) // 1000
+            assert sorted(idxs) == list(range(0, n_frames, 25))
+        df.unpersist()
 
     def test_media_rules_fused(self, spark):
         from datacheck_spark.engine import ValidationEngine
