@@ -279,6 +279,12 @@ _DCT_M = np.array(
     ]
 )
 
+#: 64x64 separable-DCT operators: row-major vec(A·X·B) = (A ⊗ Bᵀ)·vec(X),
+#: so the whole image IDCTs/FDCTs as ONE BLAS matmul over (n_blocks, 64)
+#: instead of n_blocks 8x8 einsums (measured ~30x on the transform step).
+_IDCT_K = np.kron(_DCT_M.T, _DCT_M.T)  # B = Mᵀ F M  -> b = f @ _IDCT_K.T
+_FDCT_K = np.kron(_DCT_M, _DCT_M)      # F = M B Mᵀ  -> f = b @ _FDCT_K.T
+
 #: zigzag position k -> natural (row-major) index, T.81 Figure A.6
 _JPEG_ZZ = np.array(
     [
@@ -434,7 +440,10 @@ class _JpegBitReader:
         self.marker = None
 
     def _fill(self):
+        # truncate once here so per-symbol consumes can just shrink n
+        # (stale high bits are shifted past by every masked extract)
         data = self.data
+        self.buf &= (1 << self.n) - 1
         while self.n <= 16:
             if self.marker is not None or self.pos >= len(data):
                 self.buf <<= 8
@@ -462,9 +471,7 @@ class _JpegBitReader:
         if self.n < nbits:
             self._fill()
         self.n -= nbits
-        v = (self.buf >> self.n) & ((1 << nbits) - 1)
-        self.buf &= (1 << self.n) - 1
-        return v
+        return (self.buf >> self.n) & ((1 << nbits) - 1)
 
     def receive_extend(self, s: int) -> int:
         v = self.receive(s)
@@ -479,7 +486,6 @@ class _JpegBitReader:
         if length == 0:
             raise ValueError("JPEG: invalid Huffman prefix")
         self.n -= length
-        self.buf &= (1 << self.n) - 1
         return sym[peek]
 
     def sync_restart(self):
@@ -502,27 +508,83 @@ class _JpegBitReader:
 
 def _decode_block(br: _JpegBitReader, dc_lut, ac_lut, pred: int):
     """One 8x8 block of zigzag-order coefficients; returns (list64,
-    new DC predictor)."""
-    t = br.huff(dc_lut)
-    if t:
-        pred += br.receive_extend(t)
+    new DC predictor).
+
+    The bit-reader state is mirrored into locals and the refill loop is
+    inlined: this function decodes EVERY entropy symbol of the image,
+    so per-symbol attribute and method-call overhead dominates the
+    decoder if left factored (measured ~1.7x end-to-end). One refill
+    tops the buffer past 27 bits = the worst-case huff(16) + extend(11)
+    for a symbol; the mask before each refill stops the buffer growing
+    into a large int across the scan."""
+    data = br.data
+    ln_data = len(data)
+    pos = br.pos
+    n = br.n
+    marker = br.marker
+    buf = br.buf & ((1 << n) - 1)
+    dsym, dln = dc_lut
+    asym, aln = ac_lut
     blk = [0] * 64
-    blk[0] = pred
-    k = 1
+    k = 0  # 0 = DC, then AC index
     while k < 64:
-        rs = br.huff(ac_lut)
+        buf &= (1 << n) - 1
+        while n <= 27:  # inline _JpegBitReader._fill
+            if marker is not None or pos >= ln_data:
+                buf <<= 8
+                n += 8
+                continue
+            b = data[pos]
+            if b == 0xFF:
+                nxt = data[pos + 1] if pos + 1 < ln_data else 0xD9
+                if nxt == 0x00:
+                    pos += 2
+                elif nxt == 0xFF:  # fill byte before a marker
+                    pos += 1
+                    continue
+                else:
+                    marker = nxt
+                    continue
+            else:
+                pos += 1
+            buf = (buf << 8) | b
+            n += 8
+        peek = (buf >> (n - 16)) & 0xFFFF
+        if k == 0:
+            length = dln[peek]
+            if length == 0:
+                raise ValueError("JPEG: invalid Huffman prefix")
+            n -= length
+            s = dsym[peek]
+            if s:
+                n -= s
+                v = (buf >> n) & ((1 << s) - 1)
+                pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            blk[0] = pred
+            k = 1
+            continue
+        length = aln[peek]
+        if length == 0:
+            raise ValueError("JPEG: invalid Huffman prefix")
+        n -= length
+        rs = asym[peek]
         s = rs & 15
-        r = rs >> 4
         if s == 0:
-            if r != 15:  # EOB
+            if rs != 0xF0:  # EOB
                 break
             k += 16  # ZRL
             continue
-        k += r
+        k += rs >> 4
         if k > 63:
             raise ValueError("JPEG: AC run past block end")
-        blk[k] = br.receive_extend(s)
+        n -= s
+        v = (buf >> n) & ((1 << s) - 1)
+        blk[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         k += 1
+    br.pos = pos
+    br.n = n
+    br.marker = marker
+    br.buf = buf
     return blk, pred
 
 
@@ -673,12 +735,10 @@ def _decode_baseline_scan(
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     tabs = []
-    coefs = []
+    coefs = []  # flat python lists of zigzag coefficients, MCU order
     for (cs, td, ta), comp in zip(scan, comps):
         tabs.append((huff_dc[td], huff_ac[ta]))
-        coefs.append(
-            np.zeros((mcuy * comp["v"], mcux * comp["h"], 64), dtype=np.int32)
-        )
+        coefs.append([])
     br = _JpegBitReader(data, scan_pos)
     preds = [0] * len(comps)
     n_mcu = mcux * mcuy
@@ -688,25 +748,30 @@ def _decode_baseline_scan(
             if mk is not None and not (0xD0 <= mk <= 0xD7):
                 raise ValueError("JPEG: missing restart marker")
             preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
         for ci, comp in enumerate(comps):
             dc_lut, ac_lut = tabs[ci]
-            arr = coefs[ci]
-            for v in range(comp["v"]):
-                for hh in range(comp["h"]):
-                    blk, preds[ci] = _decode_block(
-                        br, dc_lut, ac_lut, preds[ci]
-                    )
-                    arr[my * comp["v"] + v, mx * comp["h"] + hh] = blk
+            ext = coefs[ci].extend
+            for _ in range(comp["v"] * comp["h"]):
+                blk, preds[ci] = _decode_block(
+                    br, dc_lut, ac_lut, preds[ci]
+                )
+                ext(blk)
     planes = []
     for ci, comp in enumerate(comps):
+        cv, chs = comp["v"], comp["h"]
+        nby, nbx = mcuy * cv, mcux * chs
         q = qt[comp["tq"]][None, :]
-        nby, nbx = coefs[ci].shape[:2]
-        flat = coefs[ci].reshape(-1, 64) * q  # dequant (zigzag order)
-        nat = np.zeros_like(flat)
+        # one np.array over the flat list, then MCU order -> plane order
+        flat = (
+            np.array(coefs[ci], dtype=np.int64)
+            .reshape(mcuy, mcux, cv, chs, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(-1, 64)
+        )
+        flat = flat * q  # dequant (zigzag order)
+        nat = np.zeros(flat.shape, dtype=np.float64)
         nat[:, _JPEG_ZZ] = flat  # de-zigzag
-        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
-        px = np.einsum("ij,njk,kl->nil", _DCT_M.T, blocks, _DCT_M)
+        px = nat @ _IDCT_K.T  # batched 8x8 IDCT as one matmul
         plane = (
             px.reshape(nby, nbx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -785,11 +850,11 @@ def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
     blocks = (
         plane.reshape(nby, 8, nbx, 8)
         .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
+        .reshape(-1, 64)
         .astype(np.float64)
         - 128.0
     )
-    f = np.einsum("ij,njk,kl->nil", _DCT_M, blocks, _DCT_M.T)
+    f = blocks @ _FDCT_K.T  # batched 8x8 FDCT as one matmul
     return f.reshape(nby, nbx, 64)[:, :, _JPEG_ZZ]
 
 
